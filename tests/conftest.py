@@ -1,0 +1,33 @@
+import os
+from pathlib import Path
+
+# CI/tests run on the CPU backend with 8 virtual devices so sharding tests
+# exercise a multi-chip mesh without TPU hardware (SURVEY.md section 4).
+# Set before any jax import.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+DATA_DIR = Path(__file__).resolve().parent / "data"
+
+# Golden tag counts from the reference integration suite
+# (reference: tests/test_detector.rs:25-33).
+GOLDEN_COUNTS = {
+    "iphone": 66,
+    "EuRoC": 36,
+    "TUM_VI": 36,
+    "right": 36,
+    "r45": 36,
+    "top": 36,
+    "two_boards": 72,
+}
+
+
+@pytest.fixture(scope="session")
+def data_dir() -> Path:
+    return DATA_DIR
