@@ -58,13 +58,14 @@ class Capacities:
     saddles for 66 tags) with generous headroom.
     """
 
-    max_clusters: int = 2048      # candidate saddle clusters fed to ROCHADE
-    max_saddles: int = 512        # refined saddles kept (top-k by |k|)
-    max_quads: int = 256          # candidate seed quads per board search
-    grid_radius: int = 8          # board grid coordinates in [-R, R]
-    max_tags: int = 128           # decoded tags per image
-    label_prop_iters: int = 24    # connected-component relaxation sweeps
-    cluster_window: int = 13      # centroid aggregation window (odd)
+    max_clusters: int = 4096      # candidate saddle clusters fed to ROCHADE
+    max_masked: int = 98304       # below-threshold pixels kept for centroids
+    max_saddles: int = 768        # refined saddles kept (in cluster order)
+    max_quads: int = 128          # candidate seed quads per board search
+    quad_chunk: int = 8           # boards grown in parallel per chunk
+    grid_radius: int = 6          # board grid coordinates in [-R, R]
+    max_tags: int = 96            # decoded tags per board pass
+    label_prop_rounds: int = 64   # cap on labeling rounds (converges early)
 
 
 DEFAULT_PARAMS = DetectorParams()
