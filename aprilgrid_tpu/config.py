@@ -63,7 +63,7 @@ class Capacities:
     max_saddles: int = 768        # refined saddles kept (in cluster order)
     max_quads: int = 128          # candidate seed quads per board search
     quad_chunk: int = 8           # boards grown in parallel per chunk
-    grid_radius: int = 6          # board grid coordinates in [-R, R]
+    grid_radius: int = 12         # board grid coords in [-R, R] (6x11 fits)
     max_tags: int = 96            # decoded tags per board pass
     label_prop_rounds: int = 64   # cap on labeling rounds (converges early)
 

@@ -1,0 +1,150 @@
+"""TagDetector facade — the public detect API.
+
+Mirrors the reference facade (TagDetector, src/detector.rs:17-23,363-541)
+with a TPU-native execution model: ``detect`` runs one shape-static jitted
+program per (image shape, dtype) specialization; ``detect_batch`` vmaps
+the same program over a frame axis; host code only decodes files and
+unpads the fixed-capacity result into the reference's {id: corners} dict.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Mapping, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import (
+    CONSTANTS,
+    DEFAULT_CAPACITIES,
+    Capacities,
+    DetectorParams,
+    PipelineConstants,
+)
+from .families import FamilySpec, TagFamily, get_family
+from .pipeline import DetectResult, detect_pipeline, saddle_frontend
+
+
+class Saddle:
+    """Host-side saddle record (reference struct: src/saddle.rs:3-9)."""
+
+    __slots__ = ("p", "k", "theta", "phi")
+
+    def __init__(self, p, k, theta, phi):
+        self.p = p
+        self.k = k
+        self.theta = theta
+        self.phi = phi
+
+    def __repr__(self):
+        return f"Saddle(p={self.p}, k={self.k}, theta={self.theta}, phi={self.phi})"
+
+
+class TagDetector:
+    """AprilGrid detector (reference: TagDetector::new, src/detector.rs:364-406).
+
+    Parameters
+    ----------
+    family:
+        Tag family name or :class:`TagFamily` (t16h5/t25h7/t25h9/t36h11/
+        t36h11b1).
+    params:
+        Optional :class:`DetectorParams` overriding the defaults.
+    capacities:
+        Optional :class:`Capacities` sizing the shape-static pipeline.
+    """
+
+    def __init__(
+        self,
+        family: TagFamily | str = TagFamily.T36H11,
+        params: DetectorParams | None = None,
+        capacities: Capacities | None = None,
+        constants: PipelineConstants | None = None,
+    ) -> None:
+        self.spec: FamilySpec = get_family(family)
+        self.params = params or DetectorParams()
+        self.caps = capacities or DEFAULT_CAPACITIES
+        self.consts = constants or CONSTANTS
+
+    # -- jit specializations ------------------------------------------------
+
+    @functools.cached_property
+    def _detect_fn(self):
+        spec, params, consts, caps = self.spec, self.params, self.consts, self.caps
+
+        @jax.jit
+        def fn(img):
+            return detect_pipeline(img, spec, params, consts, caps)
+
+        return fn
+
+    @functools.cached_property
+    def _detect_batch_fn(self):
+        spec, params, consts, caps = self.spec, self.params, self.consts, self.caps
+
+        @jax.jit
+        def fn(imgs):
+            return jax.vmap(
+                lambda im: detect_pipeline(im, spec, params, consts, caps)
+            )(imgs)
+
+        return fn
+
+    @functools.cached_property
+    def _frontend_fn(self):
+        params, consts, caps = self.params, self.consts, self.caps
+
+        @jax.jit
+        def fn(img):
+            return saddle_frontend(img, params, consts, caps)
+
+        return fn
+
+    # -- public API ---------------------------------------------------------
+
+    def detect(self, img: np.ndarray) -> dict[int, list[tuple[float, float]]]:
+        """Detect tags in one image; returns {tag_id: 4 corners} with the
+        reference's canonical corner ordering (src/detector.rs:505-540)."""
+        res = self._detect_fn(jnp.asarray(img))
+        return _unpack_result(jax.tree.map(np.asarray, res))
+
+    def detect_batch(
+        self, imgs: np.ndarray
+    ) -> list[dict[int, list[tuple[float, float]]]]:
+        """Detect over a batch of same-shape frames (vmap over axis 0)."""
+        res = self._detect_batch_fn(jnp.asarray(imgs))
+        res = jax.tree.map(np.asarray, res)
+        return [
+            _unpack_result(DetectResult(res.ids[i], res.corners[i], res.valid[i]))
+            for i in range(res.ids.shape[0])
+        ]
+
+    def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
+        """Front-end only (reference: src/detector.rs:408-446) — refined
+        saddles for corner-only consumers (e.g. calibration pipelines)."""
+        saddles, _ = self._frontend_fn(jnp.asarray(img))
+        saddles = jax.tree.map(np.asarray, saddles)
+        out = []
+        for i in np.flatnonzero(saddles.valid):
+            out.append(
+                Saddle(
+                    p=(float(saddles.p[i, 0]), float(saddles.p[i, 1])),
+                    k=float(saddles.k[i]),
+                    theta=float(saddles.theta[i]),
+                    phi=float(saddles.phi[i]),
+                )
+            )
+        return out
+
+
+def _unpack_result(res: DetectResult) -> dict[int, list[tuple[float, float]]]:
+    out: dict[int, list[tuple[float, float]]] = {}
+    for i in np.flatnonzero(res.valid):
+        out[int(res.ids[i])] = [
+            (float(res.corners[i, j, 0]), float(res.corners[i, j, 1]))
+            for j in range(4)
+        ]
+    return out

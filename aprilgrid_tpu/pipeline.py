@@ -10,13 +10,18 @@ is assembled by ``detect_pipeline``.
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax.numpy as jnp
 
 from .config import Capacities, DetectorParams, PipelineConstants
+from .families import FamilySpec
 from .ops.cluster import cluster_centroids
+from .ops.decode import DecodedTags, decode_quads
 from .ops.frontend import gaussian_blur, hessian_response
 from .ops.gray import to_luma
 from .ops.rochade import Saddles, filter_and_compact, rochade_refine
+from .ops.search import find_best_board
 
 
 def saddle_frontend(
@@ -51,3 +56,68 @@ def saddle_frontend(
         params.max_saddle_angle,
     )
     return saddles, luma_u8
+
+
+class DetectResult(NamedTuple):
+    """Fixed-capacity detection output; host unpacks to {id: corners}."""
+
+    ids: jnp.ndarray      # (P * G2,) int32, -1 where invalid
+    corners: jnp.ndarray  # (P * G2, 4, 2) float32
+    valid: jnp.ndarray    # (P * G2,) bool
+
+
+def detect_pipeline(
+    img: jnp.ndarray,
+    spec: FamilySpec,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+) -> DetectResult:
+    """Full detect() (reference src/detector.rs:505-540): saddle frontend,
+    then ``max_num_of_boards`` rounds of board search + decode, removing
+    the saddles of successfully decoded tags between rounds."""
+    saddles, luma8 = saddle_frontend(img, params, consts, caps)
+    n = saddles.valid.shape[0]
+    alive = saddles.valid
+
+    all_ids = []
+    all_corners = []
+    all_valid = []
+    for _ in range(params.max_num_of_boards):
+        res = find_best_board(
+            saddles,
+            alive,
+            params.tag_spacing_ratio,
+            caps.grid_radius,
+            consts.quad_nn,
+            caps.max_quads,
+            caps.quad_chunk,
+            consts.max_seeds,
+            consts.early_exit_score,
+        )
+        quad_idx = res.board.cell_quad                    # (G2, 4)
+        tag_valid = res.board.placed & res.found
+        quad_pos = saddles.p[jnp.maximum(quad_idx, 0)]    # (G2, 4, 2)
+        decoded = decode_quads(
+            luma8,
+            quad_pos,
+            tag_valid,
+            spec,
+            consts.decode_margin,
+            consts.valid_brightness_threshold,
+            consts.max_invalid_bit,
+            consts.min_contrast,
+        )
+        all_ids.append(decoded.ids)
+        all_corners.append(decoded.corners)
+        all_valid.append(decoded.valid)
+        # only successfully decoded quads release their saddles
+        # (src/detector.rs:517-536)
+        used = jnp.where(decoded.valid[:, None], quad_idx, n)
+        alive = alive.at[used.reshape(-1)].set(False, mode="drop")
+
+    return DetectResult(
+        ids=jnp.concatenate(all_ids),
+        corners=jnp.concatenate(all_corners),
+        valid=jnp.concatenate(all_valid),
+    )

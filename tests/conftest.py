@@ -3,13 +3,18 @@ from pathlib import Path
 
 # CI/tests run on the CPU backend with 8 virtual devices so sharding tests
 # exercise a multi-chip mesh without TPU hardware (SURVEY.md section 4).
-# Set before any jax import.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Note: this environment pins JAX_PLATFORMS=axon via sitecustomize, so the
+# env var alone is not enough — override the config after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
