@@ -8,21 +8,27 @@ src/board.rs:114-234), then repairs interior holes from opposite
 neighbors (try_fix_missing, src/board.rs:52-112).
 
 Recursion is inherently sequential, so the TPU recast grows the whole
-frontier in parallel: every (placed cell, direction) proposes an
-expansion each sweep, conflicts (two proposals claiming the same target
-cell or the same saddle) are resolved by proposal order, and sweeps
-repeat inside a ``lax.while_loop`` until no placement happens. A 6x6
-board settles in ~10-14 sweeps instead of ~150 sequential expansions.
-The geometric predicates (edge extrapolation, radius gate, orientation
-gate, quad validity, candidate ordering) match the reference exactly, so
-on clean data the resulting board is identical; only the traversal order
-differs. Boards for many seed quads grow concurrently via ``vmap``.
+frontier in parallel: every (placed cell, direction) pair on the frontier
+proposes an expansion each sweep, conflicts (two proposals claiming the
+same target cell or the same saddle) are resolved by proposal order, and
+sweeps repeat inside a ``lax.while_loop`` until no placement happens. A
+6x6 board settles in ~10-14 sweeps instead of ~150 sequential
+expansions; many candidate boards grow concurrently under ``vmap``. The
+geometric predicates (edge extrapolation, radius gate, orientation gate,
+quad validity, candidate ordering) match the reference exactly, so on
+clean data the resulting board is identical; only traversal order
+differs.
+
+All four 3-NN queries of a proposal batch into one masked ``top_k`` —
+keeping the op count minimal matters more than FLOPs here.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -42,98 +48,98 @@ class BoardState(NamedTuple):
     score: jnp.ndarray      # () int32 — number of placed cells
 
 
-def _neighbor_cells(grid_radius: int):
+@functools.lru_cache(maxsize=None)
+def _neighbor_arrays(grid_radius: int) -> tuple[np.ndarray, np.ndarray]:
     """Static target-cell index map (G2, 4) plus in-grid mask."""
     g = 2 * grid_radius + 1
     g2 = g * g
-    cells = jnp.arange(g2, dtype=jnp.int32)
+    cells = np.arange(g2, dtype=np.int32)
     cx = cells % g
     cy = cells // g
-    tgt = []
-    ok = []
-    for dx, dy in _DIRS:
+    tgt = np.empty((g2, 4), np.int32)
+    ok = np.empty((g2, 4), bool)
+    for d, (dx, dy) in enumerate(_DIRS):
         tx = cx + dx
         ty = cy + dy
         inside = (tx >= 0) & (tx < g) & (ty >= 0) & (ty < g)
-        tgt.append(jnp.where(inside, ty * g + tx, g2))
-        ok.append(inside)
-    return jnp.stack(tgt, -1), jnp.stack(ok, -1)  # (G2, 4), (G2, 4)
+        tgt[:, d] = np.where(inside, ty * g + tx, g2)
+        ok[:, d] = inside
+    return tgt, ok
 
 
-def _closest_candidates(saddles, target, ref_theta, radius_sq, active):
-    """3-NN of ``target`` gated by radius/active/orientation
-    (src/board.rs:177-234). Leading dims broadcast.
+@functools.lru_cache(maxsize=None)
+def _combo_index() -> np.ndarray:
+    """(81, 4) candidate-slot combos in reference nesting order
+    (idx0 outermost .. idx3 innermost, src/board.rs:160-163)."""
+    a = np.arange(3)
+    return np.stack(
+        [
+            np.repeat(a, 27),
+            np.tile(np.repeat(a, 9), 3),
+            np.tile(np.repeat(a, 3), 9),
+            np.tile(a, 27),
+        ],
+        axis=-1,
+    ).astype(np.int32)
 
-    Returns (cand_idx (..., 3), cand_ok (..., 3)) in distance order.
+
+def propose_expansions(saddles, quads: jnp.ndarray, active: jnp.ndarray, spacing_ratio: float):
+    """Batched try_expand_one (src/board.rs:153-234).
+
+    ``quads``: (P, 4) rotated source quads [s0, s1, s2, s3]. Returns
+    (new_quads (P, 4), valid (P,)) — the first valid candidate combo per
+    proposal, in reference nesting order.
     """
-    d2 = jnp.sum((saddles.p - target[..., None, :]) ** 2, axis=-1)
-    d2 = jnp.where(saddles.valid, d2, jnp.inf)
-    neg, idx = lax.top_k(-d2, 3)
+    p = saddles.p[quads]       # (P, 4, 2)
+    t = saddles.theta[quads]   # (P, 4)
+    ratio = 1.0 + spacing_ratio
+
+    # edge s0->s1 extrapolates for new corners 0,1; edge s3->s2 for 3,2
+    v01 = p[:, 1] - p[:, 0]
+    v32 = p[:, 2] - p[:, 3]
+    r01 = 0.5 * jnp.sum(v01 * v01, -1)
+    r32 = 0.5 * jnp.sum(v32 * v32, -1)
+    targets = jnp.stack(
+        [
+            p[:, 0] + v01 * ratio,   # new corner 0
+            p[:, 1] + v01 * ratio,   # new corner 1
+            p[:, 2] + v32 * ratio,   # new corner 2
+            p[:, 3] + v32 * ratio,   # new corner 3
+        ],
+        axis=1,
+    )  # (P, 4, 2)
+    radius_sq = jnp.stack([r01, r01, r32, r32], axis=1)  # (P, 4)
+
+    d2 = jnp.sum(
+        (saddles.p[None, None, :, :] - targets[:, :, None, :]) ** 2, axis=-1
+    )  # (P, 4, N)
+    d2 = jnp.where(saddles.valid[None, None, :], d2, jnp.inf)
+    neg, idx = lax.top_k(-d2, 3)  # (P, 4, 3) nearest-first
     dist_sq = -neg
     ok = (
         jnp.isfinite(dist_sq)
         & (dist_sq <= radius_sq[..., None])
-        & jnp.take_along_axis(
-            jnp.broadcast_to(active, d2.shape), idx, axis=-1
-        )
-        & (
-            theta_distance_degree(ref_theta[..., None], saddles.theta[idx])
-            < 5.0
-        )
+        & active[idx]
+        & (theta_distance_degree(t[..., None], saddles.theta[idx]) < 5.0)
     )
-    return idx, ok
 
+    # compact each 3-candidate list (reference iterates passing entries
+    # in distance order, src/board.rs:197-232)
+    order = jnp.argsort(~ok, axis=-1, stable=True)
+    idx = jnp.take_along_axis(idx, order, axis=-1)
+    ok = jnp.take_along_axis(ok, order, axis=-1)
 
-def _propose(saddles, quad, active, spacing_ratio):
-    """One try_expand_one (src/board.rs:153-176) for a rotated quad.
+    combos = jnp.asarray(_combo_index())  # (81, 4)
+    corner = jnp.arange(4)
+    cand = idx[:, corner[None, :], combos]        # (P, 81, 4)
+    cand_ok = ok[:, corner[None, :], combos].all(-1)
+    cand_ok &= is_valid_quad_idx(saddles, cand)
 
-    ``quad`` is the rotated [s0, s1, s2, s3]; returns (new_quad (4,),
-    valid ()) — the first valid combination in reference nesting order.
-    """
-    p = saddles.p[quad]       # (4, 2)
-    t = saddles.theta[quad]   # (4,)
-    ratio = 1.0 + spacing_ratio
-
-    def side(i_a, i_b):
-        va = p[i_a]
-        vb = p[i_b]
-        v = vb - va
-        radius_sq = 0.5 * jnp.sum(v * v)
-        new_a = va + v * ratio
-        new_b = vb + v * ratio
-        ia, oa = _closest_candidates(saddles, new_a, t[i_a], radius_sq, active)
-        ib, ob = _closest_candidates(saddles, new_b, t[i_b], radius_sq, active)
-        return ia, oa, ib, ob
-
-    # find(s0, s1) -> candidates for new corners 0 and 1;
-    # find(s3, s2) -> candidates for new corners 3 and 2 (src/board.rs:158-159)
-    i0, o0, i1, o1 = side(0, 1)
-    i3, o3, i2, o2 = side(3, 2)
-
-    # compact each candidate list (reference keeps passing entries in
-    # order, combos iterate compacted lists) — with <=3 entries, stable
-    # ordering of passing entries is what matters.
-    def compact(idx, ok):
-        order = jnp.argsort(~ok, stable=True)  # passing first, stable
-        return idx[order], ok[order]
-
-    i0, o0 = compact(i0, o0)
-    i1, o1 = compact(i1, o1)
-    i2, o2 = compact(i2, o2)
-    i3, o3 = compact(i3, o3)
-
-    # 81 combos in nested order idx0 > idx1 > idx2 > idx3
-    a = jnp.arange(3)
-    c0 = jnp.repeat(a, 27)
-    c1 = jnp.tile(jnp.repeat(a, 9), 3)
-    c2 = jnp.tile(jnp.repeat(a, 3), 9)
-    c3 = jnp.tile(a, 27)
-    combo = jnp.stack([i0[c0], i1[c1], i2[c2], i3[c3]], -1)  # (81, 4)
-    combo_ok = o0[c0] & o1[c1] & o2[c2] & o3[c3]
-    combo_ok &= is_valid_quad_idx(saddles, combo)
-
-    first = jnp.argmax(combo_ok)  # first valid combo
-    return combo[first], combo_ok.any()
+    first = jnp.argmax(cand_ok, axis=-1)          # (P,) first valid combo
+    new_quads = jnp.take_along_axis(
+        cand, first[:, None, None].repeat(4, -1), axis=1
+    )[:, 0]
+    return new_quads, cand_ok.any(axis=-1)
 
 
 def grow_board(
@@ -143,26 +149,29 @@ def grow_board(
     active_in: jnp.ndarray,
     spacing_ratio: float,
     grid_radius: int,
-    max_sweeps: int = 24,
+    max_attempts: int = 96,
+    max_sweeps: int = 32,
 ) -> BoardState:
-    """Grow one board from a seed quad (Board::new, src/board.rs:27-48)."""
+    """Grow one board from a seed quad (Board::new, src/board.rs:27-48).
+
+    Designed to be ``vmap``-ed over many seed quads: the while_loop then
+    runs in lockstep until every board has quiesced.
+    """
     g = 2 * grid_radius + 1
     g2 = g * g
     center = grid_radius * g + grid_radius
     n = saddles.valid.shape[0]
 
-    tgt_map, tgt_ok = _neighbor_cells(grid_radius)
+    tgt_np, ok_np = _neighbor_arrays(grid_radius)
+    tgt_map = jnp.asarray(tgt_np)
+    tgt_ok = jnp.asarray(ok_np)
 
     cell_quad = jnp.full((g2, 4), -1, jnp.int32).at[center].set(seed_quad)
     placed = jnp.zeros(g2, bool).at[center].set(seed_valid)
     failed = jnp.zeros(g2, bool)
     # seed consumes quad[1:] only (src/board.rs:34-36)
-    active = active_in & ~(
-        jnp.zeros(n, bool).at[seed_quad[1:]].set(True)
-    )
-    active = jnp.where(seed_valid, active, active_in)
-
-    max_attempts = 128
+    seed_used = jnp.zeros(n, bool).at[seed_quad[1:]].set(True)
+    active = active_in & ~(seed_used & seed_valid)
 
     def sweep(state):
         cell_quad, placed, failed, active, _, it = state
@@ -171,9 +180,7 @@ def grow_board(
         # in cell-major / direction-minor priority order
         tgt_all = tgt_map.reshape(-1)  # (G2*4,)
         attempt_all = (
-            placed[:, None]
-            & tgt_ok
-            & ~placed[jnp.minimum(tgt_map, g2 - 1)]
+            placed[:, None] & tgt_ok & ~placed[jnp.minimum(tgt_map, g2 - 1)]
         ).reshape(-1)
         total = attempt_all.shape[0]
         (sel,) = jnp.nonzero(attempt_all, size=max_attempts, fill_value=total)
@@ -187,9 +194,7 @@ def grow_board(
         rot_ix = (d[:, None] + jnp.arange(4)[None, :]) % 4
         rot = jnp.take_along_axis(cell_quad[cell], rot_ix, axis=1)
 
-        new_q, valid = jax.vmap(
-            lambda q: _propose(saddles, q, active, spacing_ratio)
-        )(rot)
+        new_q, valid = propose_expansions(saddles, rot, active, spacing_ratio)
         valid &= live
         # rotate back right by d before storing (src/board.rs:138-139)
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
@@ -203,7 +208,6 @@ def grow_board(
         earlier = (p_idx[None, :] < p_idx[:, None]) & valid[None, :]
         blocked = (earlier & (same_tgt | share)).any(axis=1)
         accept = valid & ~blocked
-        attempt = live
 
         # apply accepted placements (targets now distinct)
         scatter_tgt = jnp.where(accept, tgt, g2)
@@ -213,7 +217,7 @@ def grow_board(
         used = jnp.where(accept[:, None], quad, n)
         active = active.at[used.reshape(-1)].set(False, mode="drop")
         # failure marks (reference inserts None, src/board.rs:148)
-        fail_t = jnp.where(attempt & ~valid, tgt, g2)
+        fail_t = jnp.where(live & ~valid, tgt, g2)
         failed = failed.at[fail_t].set(True, mode="drop")
         return cell_quad, placed, failed, active, accept.any(), it + 1
 
@@ -239,12 +243,12 @@ def fix_missing(saddles, board: BoardState, grid_radius: int) -> BoardState:
     g = 2 * grid_radius + 1
     g2 = g * g
     present = board.placed | board.failed
-    tgt_map, tgt_ok = _neighbor_cells(grid_radius)
+    tgt_np, ok_np = _neighbor_arrays(grid_radius)
+    tgt_map = jnp.asarray(tgt_np)
+    tgt_ok = jnp.asarray(ok_np)
 
     def nb(d):
-        t = jnp.minimum(tgt_map[:, d], g2 - 1)
-        ok = tgt_ok[:, d]
-        return t, ok
+        return jnp.minimum(tgt_map[:, d], g2 - 1), tgt_ok[:, d]
 
     t_px, ok_px = nb(0)   # +x
     t_mx, ok_mx = nb(2)   # -x

@@ -1,15 +1,16 @@
-"""Best-board search: seed selection + chunked parallel board growth.
+"""Best-board search: seed selection + grouped parallel board growth.
 
 The reference's try_find_best_board (src/detector.rs:588-639) histograms
 saddle orientations, seeds from the largest bucket (popped back-to-front,
 at most 30 seeds), grows a Board from every candidate quad of each seed,
 keeps the first strictly-best score, and early-exits at score >= 36.
 
-TPU recast: the seed loop is a ``lax.while_loop``; within a seed the
-candidate quads grow in ``vmap``-ed chunks so the common case (first seed
-quad reaches the full 36-tag board) costs one chunk of parallel growths.
-"chunk argmax = first max" preserves the reference's first-strictly-best
-tie-breaking across the in-order quad stream.
+TPU recast: "first strictly-greater score" over an ordered candidate
+stream equals "first maximum", so seeds are processed in small groups —
+all candidate quads of a group grow concurrently in one ``vmap`` (their
+sweeps run in lockstep inside a single ``lax.while_loop``) and the group
+loop early-exits exactly like the reference seed loop. The common case
+(first group contains a full-board quad) costs one group iteration.
 """
 
 from __future__ import annotations
@@ -30,26 +31,24 @@ class SearchResult(NamedTuple):
     found: jnp.ndarray  # () bool
 
 
-def _seed_order(saddles, alive: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _seed_order(saddles, alive: jnp.ndarray, max_seeds: int):
     """Seeds = members of the largest integer-theta histogram bucket,
     consumed from the back (src/detector.rs:601-617).
 
-    Returns (seed_idx (N,), num_seeds ()) — seed_idx[i] is the i-th seed
-    to process (descending saddle index within the winning bucket).
+    Returns (seed_idx (max_seeds,), seed_ok (max_seeds,)).
     """
     n = saddles.valid.shape[0]
     bucket = (rust_round(saddles.theta).astype(jnp.int32) + 90).clip(0, 180)
-    onehot = (
-        jax.nn.one_hot(bucket, 181, dtype=jnp.float32)
-        * alive.astype(jnp.float32)[:, None]
+    counts = jnp.zeros(181, jnp.int32).at[jnp.where(alive, bucket, 181)].add(
+        1, mode="drop"
     )
-    counts = onehot.sum(axis=0)
     best_bucket = jnp.argmax(counts)
     member = alive & (bucket == best_bucket)
     # descending index order: nonzero over the reversed mask
-    (rev_idx,) = jnp.nonzero(member[::-1], size=n, fill_value=n)
-    seed_idx = jnp.where(rev_idx < n, n - 1 - rev_idx, n)
-    return seed_idx.astype(jnp.int32), member.sum().astype(jnp.int32)
+    (rev_idx,) = jnp.nonzero(member[::-1], size=max_seeds, fill_value=n)
+    seed_ok = rev_idx < n
+    seed_idx = jnp.where(seed_ok, n - 1 - rev_idx, 0)
+    return seed_idx.astype(jnp.int32), seed_ok
 
 
 def find_best_board(
@@ -59,7 +58,8 @@ def find_best_board(
     grid_radius: int,
     nn: int,
     max_quads: int,
-    quad_chunk: int,
+    max_boards: int,
+    seeds_per_group: int,
     max_seeds: int,
     early_exit_score: int,
 ) -> SearchResult:
@@ -68,8 +68,8 @@ def find_best_board(
     n = saddles.valid.shape[0]
     g2 = (2 * grid_radius + 1) ** 2
 
-    seed_idx, num_seeds = _seed_order(saddles, alive)
-    num_seeds = jnp.minimum(num_seeds, max_seeds)
+    seed_idx, seed_ok = _seed_order(saddles, alive, max_seeds)
+    num_groups = -(-max_seeds // seeds_per_group)
 
     def empty_board() -> BoardState:
         return BoardState(
@@ -80,58 +80,51 @@ def find_best_board(
             score=jnp.int32(0),
         )
 
-    def grow_chunk(quads, quads_valid):
-        return jax.vmap(
+    def group_body(state):
+        gi, best = state
+        s_slots = gi * seeds_per_group + jnp.arange(seeds_per_group)
+        s_ok = seed_ok[jnp.minimum(s_slots, max_seeds - 1)] & (
+            s_slots < max_seeds
+        )
+        s_idx = seed_idx[jnp.minimum(s_slots, max_seeds - 1)]
+
+        # candidate quads of all seeds in the group, seed-major order
+        qs = jax.vmap(
+            lambda s, ok: init_quads(
+                saddles, alive & ok, jnp.minimum(s, n - 1), nn, max_quads
+            )
+        )(s_idx, s_ok)
+        flat_q = qs.quads.reshape(-1, 4)
+        flat_ok = (qs.valid & s_ok[:, None]).reshape(-1)
+        total = flat_ok.shape[0]
+        (sel,) = jnp.nonzero(flat_ok, size=max_boards, fill_value=total)
+        b_ok = sel < total
+        b_q = flat_q[jnp.minimum(sel, total - 1)]
+
+        boards = jax.vmap(
             lambda q, v: grow_board(
                 saddles, q, v, alive, spacing_ratio, grid_radius
             )
-        )(quads, quads_valid)
-
-    def pick_better(best: BoardState, cand: BoardState, cand_score):
-        take = cand_score > best.score
-        return jax.tree.map(
-            lambda b, c: jnp.where(
-                jnp.reshape(take, (1,) * b.ndim), c, b
-            ),
+        )(b_q, b_ok)
+        scores = jnp.where(b_ok, boards.score, 0)
+        j = jnp.argmax(scores)  # first max = reference first-strictly-best
+        cand = jax.tree.map(lambda x: x[j], boards)
+        take = scores[j] > best.score
+        best = jax.tree.map(
+            lambda b, c: jnp.where(jnp.reshape(take, (1,) * b.ndim), c, b),
             best,
             cand,
         )
+        return gi + 1, best
 
-    def seed_body(state):
-        si, best = state
-        s0 = jnp.minimum(seed_idx[si], n - 1)
-        qs = init_quads(saddles, alive, s0, nn, max_quads)
+    def group_cond(state):
+        gi, best = state
+        more = (gi < num_groups) & seed_ok[
+            jnp.minimum(gi * seeds_per_group, max_seeds - 1)
+        ]
+        return more & (best.score < early_exit_score)
 
-        def chunk_cond(cstate):
-            ci, best_c = cstate
-            start = ci * quad_chunk
-            has_more = qs.valid[jnp.minimum(start, max_quads - 1)] & (
-                start < max_quads
-            )
-            return has_more
-
-        def chunk_body(cstate):
-            ci, best_c = cstate
-            start = ci * quad_chunk
-            idxs = start + jnp.arange(quad_chunk)
-            safe = jnp.minimum(idxs, max_quads - 1)
-            cq = qs.quads[safe]
-            cv = qs.valid[safe] & (idxs < max_quads)
-            boards = grow_chunk(cq, cv)
-            scores = jnp.where(cv, boards.score, 0)
-            j = jnp.argmax(scores)  # first max in chunk order
-            cand = jax.tree.map(lambda x: x[j], boards)
-            best_c = pick_better(best_c, cand, scores[j])
-            return ci + 1, best_c
-
-        _, best = lax.while_loop(chunk_cond, chunk_body, (jnp.int32(0), best))
-        return si + 1, best
-
-    def seed_cond(state):
-        si, best = state
-        return (si < num_seeds) & (best.score < early_exit_score)
-
-    _, best = lax.while_loop(seed_cond, seed_body, (jnp.int32(0), empty_board()))
+    _, best = lax.while_loop(group_cond, group_body, (jnp.int32(0), empty_board()))
 
     found = best.score > 0
     best = fix_missing(saddles, best, grid_radius)

@@ -91,7 +91,8 @@ def detect_pipeline(
             caps.grid_radius,
             consts.quad_nn,
             caps.max_quads,
-            caps.quad_chunk,
+            caps.max_boards,
+            caps.seeds_per_group,
             consts.max_seeds,
             consts.early_exit_score,
         )
