@@ -1,0 +1,130 @@
+"""Multi-chip sharding for batched and high-resolution detection.
+
+The reference is a single-threaded CPU detector (SURVEY.md section 2c —
+no parallelism of any kind). The TPU-native scaling axes are:
+
+* **data parallel (dp)** — shard the frame batch across chips
+  (``detect_batch_sharded``); calibration sequences and multi-camera rigs
+  saturate a slice with zero cross-chip traffic;
+* **spatial / sequence parallel (sp)** — shard pixel ROWS of one frame
+  across chips for the dense front-end (blur + Hessian response), with a
+  ring halo exchange over ICI (``ppermute``) supplying the stencil
+  borders — the image-pipeline analogue of ring attention
+  (``frontend_rows_sharded``);
+* **camera parallel** — one camera per mesh row in a 2-D
+  ``(camera, sp)`` mesh for 4K multi-camera streaming (compose the two
+  primitives above).
+
+Collectives ride XLA/ICI via ``shard_map`` — there is no NCCL/MPI
+equivalent to port; on TPU the XLA collective layer *is* the backend.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.frontend import gaussian_kernel
+
+
+def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
+    """Build a named device mesh, e.g. ``make_mesh({"data": 2, "sp": 4})``."""
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(list(axis_sizes.values())))
+    if n > len(devices):
+        raise ValueError(f"mesh needs {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(tuple(axis_sizes.values()))
+    return Mesh(arr, tuple(axis_sizes.keys()))
+
+
+def detect_batch_sharded(detector, imgs: np.ndarray, mesh: Mesh, axis: str = "data"):
+    """Data-parallel batched detect: frames sharded across ``axis``.
+
+    The per-frame pipeline is pure ``vmap`` inside ``jit``; annotating the
+    batch dim is all XLA needs to run shards independently per chip.
+    """
+    spec = P(axis, *([None] * (imgs.ndim - 1)))
+    sharded = jax.device_put(jnp.asarray(imgs), NamedSharding(mesh, spec))
+    return detector._detect_batch_fn(sharded)
+
+
+def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
+    """Ring halo exchange along a row-sharded axis inside ``shard_map``.
+
+    Each shard receives ``halo`` rows from its up/down neighbors over ICI
+    (edge shards replicate their own border rows, matching the clamped
+    border semantics of the reference blur, src/image_util.rs:144-183).
+    """
+    idx = lax.axis_index(axis)
+    n = lax.axis_size(axis)
+    # send bottom rows downward (they become the next shard's top halo)
+    down = lax.ppermute(
+        x[-halo:, :], axis, [(i, (i + 1) % n) for i in range(n)]
+    )
+    up = lax.ppermute(
+        x[:halo, :], axis, [(i, (i - 1) % n) for i in range(n)]
+    )
+    # global edges: clamp-replicate own border rows
+    top_edge = jnp.repeat(x[:1, :], halo, axis=0)
+    bot_edge = jnp.repeat(x[-1:, :], halo, axis=0)
+    top = jnp.where(idx == 0, top_edge, down)
+    bot = jnp.where(idx == n - 1, bot_edge, up)
+    return jnp.concatenate([top, x, bot], axis=0)
+
+
+def frontend_rows_sharded(mesh: Mesh, sigma: float = 1.5, axis: str = "sp"):
+    """Row-sharded blur + Hessian response with ICI halo exchange.
+
+    Returns a jitted function ``luma (H, W) -> (blur, resp)`` where H is
+    divisible by the ``axis`` size. Numerics match the single-chip
+    front-end exactly: the halo supplies the cross-shard stencil rows and
+    global borders stay clamp-replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    k = gaussian_kernel(sigma)
+    radius = (len(k) - 1) // 2
+    halo = radius + 1  # blur needs `radius` rows, hessian one more
+
+    def local(luma_tile):
+        h_local, w = luma_tile.shape
+        # horizontal pass is row-independent
+        padded = jnp.pad(luma_tile, ((0, 0), (radius, radius)), mode="edge")
+        temp = jnp.zeros_like(luma_tile)
+        for i, kw in enumerate(k):
+            temp = temp + padded[:, i : i + w] * kw
+        # vertical pass needs neighbor rows: ring halo over ICI
+        ext = _halo_exchange_rows(temp, halo, axis)  # (h+2*halo, W)
+        blur_ext = jnp.zeros((h_local + 2, w), luma_tile.dtype)
+        for i, kw in enumerate(k):
+            blur_ext = blur_ext + ext[halo - 1 + i - radius : halo - 1 + i - radius + h_local + 2, :] * kw
+        # hessian on the interior (needs blur at +-1 rows)
+        v = blur_ext
+        lxx = v[1:-1, :-2] - 2.0 * v[1:-1, 1:-1] + v[1:-1, 2:]
+        lyy = v[:-2, 1:-1] - 2.0 * v[1:-1, 1:-1] + v[2:, 1:-1]
+        lxy = (v[:-2, 2:] - v[:-2, :-2] + v[2:, :-2] - v[2:, 2:]) * 0.25
+        resp = lxx * lyy - lxy * lxy
+        resp = jnp.pad(resp, ((0, 0), (1, 1)))
+        # zero the global top/bottom border rows (reference leaves them 0)
+        idx = lax.axis_index(axis)
+        n = lax.axis_size(axis)
+        row = jnp.arange(h_local)
+        border = ((idx == 0) & (row == 0)) | (
+            (idx == n - 1) & (row == h_local - 1)
+        )
+        resp = jnp.where(border[:, None], 0.0, resp)
+        return blur_ext[1:-1, :], resp
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=(P(axis, None), P(axis, None)),
+    )
+    return jax.jit(fn)

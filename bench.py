@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark: batched 1080p detect() throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "fps/chip", "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md): its bench harness times
+single-threaded CPU detect() over the bundled images. Our baseline for
+``vs_baseline`` is the north-star target from BASELINE.json —
+2000 fps/chip at 1080p — so vs_baseline = fps / 2000.
+
+Method: the 1920x1080 RGB test frame (two_boards.png — the hardest: two
+boards, 72 tags) is batched BATCH times and detected with the vmapped
+jitted pipeline; steady-state wall time over REPS calls, best-of.
+Correctness is asserted on the decoded output (72 unique tags).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ["JAX_COMPILATION_CACHE_DIR"],
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from aprilgrid_tpu.detector import TagDetector
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
+
+    img = load_image("tests/data/two_boards.png")
+    imgs = np.broadcast_to(img, (batch,) + img.shape)
+
+    det = TagDetector("t36h11")
+
+    # warm up + correctness gate
+    out = det.detect_batch(np.ascontiguousarray(imgs))
+    n_tags = len(out[0])
+    assert n_tags == 72, f"expected 72 tags, got {n_tags}"
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        out = det.detect_batch(np.ascontiguousarray(imgs))
+        dt = time.time() - t0
+        best = min(best, dt)
+
+    fps = batch / best
+    target = 2000.0
+    print(
+        json.dumps(
+            {
+                "metric": "detect() throughput, 1080p RGB (two_boards, 72 tags)",
+                "value": round(fps, 2),
+                "unit": "fps/chip",
+                "vs_baseline": round(fps / target, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,57 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aprilgrid_tpu.parallel.sharding import (
+    detect_batch_sharded,
+    frontend_rows_sharded,
+    make_mesh,
+)
+
+
+def test_mesh_build():
+    mesh = make_mesh({"data": 2, "sp": 4})
+    assert mesh.shape == {"data": 2, "sp": 4}
+    with pytest.raises(ValueError):
+        make_mesh({"data": 16})
+
+
+def test_row_sharded_frontend_matches_single_chip():
+    """Halo-exchange stencil front-end must match the single-device
+    implementation exactly (the parity the halo is responsible for)."""
+    from aprilgrid_tpu.ops.frontend import gaussian_blur, hessian_response
+
+    rng = np.random.default_rng(0)
+    luma = jnp.asarray(rng.uniform(0, 1, (96, 160)).astype(np.float32))
+
+    ref_blur = gaussian_blur(luma, 1.5)
+    ref_resp = hessian_response(ref_blur)
+
+    mesh = make_mesh({"sp": 8})
+    blur, resp = frontend_rows_sharded(mesh, 1.5, "sp")(luma)
+
+    np.testing.assert_allclose(np.asarray(blur), np.asarray(ref_blur), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(resp), np.asarray(ref_resp), atol=1e-6)
+
+
+def test_detect_batch_sharded(data_dir):
+    from aprilgrid_tpu.detector import TagDetector
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+
+    img = load_image(str(data_dir / "EuRoC.png"))
+    imgs = np.stack([img] * 4)
+    mesh = make_mesh({"data": 4})
+    det = TagDetector("t36h11")
+    res = detect_batch_sharded(det, imgs, mesh)
+    res = jax.tree.map(np.asarray, res)
+    assert res.valid.shape[0] == 4
+    assert all(res.valid[i].sum() == 36 for i in range(4))
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
