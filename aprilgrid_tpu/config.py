@@ -61,9 +61,10 @@ class Capacities:
     max_clusters: int = 4096      # candidate saddle clusters fed to ROCHADE
     max_masked: int = 98304       # below-threshold pixels kept for centroids
     max_saddles: int = 768        # refined saddles kept (in cluster order)
-    max_quads: int = 64           # candidate quads per seed
-    max_boards: int = 64          # boards grown concurrently per seed group
-    seeds_per_group: int = 2      # seeds batched per early-exit check
+    max_quads: int = 32           # candidate quads per seed
+    max_boards: int = 32          # boards grown concurrently per seed group
+    seeds_per_group: int = 1      # seeds batched per early-exit check
+    max_attempts: int = 64        # frontier expansion attempts per sweep
     grid_radius: int = 12         # board grid coords in [-R, R] (6x11 fits)
     max_tags: int = 96            # decoded tags per board pass
     label_prop_rounds: int = 64   # cap on labeling rounds (converges early)

@@ -149,7 +149,7 @@ def grow_board(
     active_in: jnp.ndarray,
     spacing_ratio: float,
     grid_radius: int,
-    max_attempts: int = 96,
+    max_attempts: int = 64,
     max_sweeps: int = 32,
 ) -> BoardState:
     """Grow one board from a seed quad (Board::new, src/board.rs:27-48).

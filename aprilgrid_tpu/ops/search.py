@@ -60,6 +60,7 @@ def find_best_board(
     max_quads: int,
     max_boards: int,
     seeds_per_group: int,
+    max_attempts: int,
     max_seeds: int,
     early_exit_score: int,
 ) -> SearchResult:
@@ -103,7 +104,8 @@ def find_best_board(
 
         boards = jax.vmap(
             lambda q, v: grow_board(
-                saddles, q, v, alive, spacing_ratio, grid_radius
+                saddles, q, v, alive, spacing_ratio, grid_radius,
+                max_attempts=max_attempts,
             )
         )(b_q, b_ok)
         scores = jnp.where(b_ok, boards.score, 0)

@@ -93,6 +93,7 @@ def detect_pipeline(
             caps.max_quads,
             caps.max_boards,
             caps.seeds_per_group,
+            caps.max_attempts,
             consts.max_seeds,
             consts.early_exit_score,
         )
