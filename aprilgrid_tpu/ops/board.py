@@ -83,12 +83,35 @@ def _combo_index() -> np.ndarray:
     ).astype(np.int32)
 
 
-def propose_expansions(saddles, quads: jnp.ndarray, active: jnp.ndarray, spacing_ratio: float):
+def knn_table(saddles, k: int = 64) -> jnp.ndarray:
+    """(N, k) nearest-neighbor index table over valid saddles.
+
+    Computed once per board search; expansion targets are always within
+    ~2.3 tag-edge lengths of a source corner, so the true 3-NN of a
+    target is contained in the source's k-NN list at any realistic board
+    density (see propose_expansions). Replaces the reference's kd-tree
+    (src/detector.rs:592-595)."""
+    d2 = jnp.sum(
+        (saddles.p[:, None, :] - saddles.p[None, :, :]) ** 2, axis=-1
+    )
+    d2 = jnp.where(saddles.valid[None, :], d2, jnp.inf)
+    _, idx = lax.top_k(-d2, k)
+    return idx.astype(jnp.int32)
+
+
+def propose_expansions(
+    saddles,
+    knn: jnp.ndarray,
+    quads: jnp.ndarray,
+    active: jnp.ndarray,
+    spacing_ratio: float,
+):
     """Batched try_expand_one (src/board.rs:153-234).
 
     ``quads``: (P, 4) rotated source quads [s0, s1, s2, s3]. Returns
     (new_quads (P, 4), valid (P,)) — the first valid candidate combo per
-    proposal, in reference nesting order.
+    proposal, in reference nesting order. Candidate search is pruned to
+    the k-NN list of the edge endpoint nearest each extrapolated target.
     """
     p = saddles.p[quads]       # (P, 4, 2)
     t = saddles.theta[quads]   # (P, 4)
@@ -110,11 +133,17 @@ def propose_expansions(saddles, quads: jnp.ndarray, active: jnp.ndarray, spacing
     )  # (P, 4, 2)
     radius_sq = jnp.stack([r01, r01, r32, r32], axis=1)  # (P, 4)
 
-    d2 = jnp.sum(
-        (saddles.p[None, None, :, :] - targets[:, :, None, :]) ** 2, axis=-1
-    )  # (P, 4, N)
-    d2 = jnp.where(saddles.valid[None, None, :], d2, jnp.inf)
-    neg, idx = lax.top_k(-d2, 3)  # (P, 4, 3) nearest-first
+    # candidate pools: targets for corners 0/1 sit past s1; for 2/3 past
+    # s2 — prune the N-wide search to those endpoints' k-NN lists
+    pool = jnp.stack(
+        [knn[quads[:, 1]], knn[quads[:, 1]], knn[quads[:, 2]], knn[quads[:, 2]]],
+        axis=1,
+    )  # (P, 4, K)
+    pool_p = saddles.p[pool]  # (P, 4, K, 2)
+    d2 = jnp.sum((pool_p - targets[:, :, None, :]) ** 2, axis=-1)
+    d2 = jnp.where(saddles.valid[pool], d2, jnp.inf)
+    neg, slot = lax.top_k(-d2, 3)  # (P, 4, 3) nearest-first
+    idx = jnp.take_along_axis(pool, slot, axis=-1)
     dist_sq = -neg
     ok = (
         jnp.isfinite(dist_sq)
@@ -144,6 +173,7 @@ def propose_expansions(saddles, quads: jnp.ndarray, active: jnp.ndarray, spacing
 
 def grow_board(
     saddles,
+    knn: jnp.ndarray,
     seed_quad: jnp.ndarray,
     seed_valid: jnp.ndarray,
     active_in: jnp.ndarray,
@@ -194,7 +224,7 @@ def grow_board(
         rot_ix = (d[:, None] + jnp.arange(4)[None, :]) % 4
         rot = jnp.take_along_axis(cell_quad[cell], rot_ix, axis=1)
 
-        new_q, valid = propose_expansions(saddles, rot, active, spacing_ratio)
+        new_q, valid = propose_expansions(saddles, knn, rot, active, spacing_ratio)
         valid &= live
         # rotate back right by d before storing (src/board.rs:138-139)
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .board import BoardState, fix_missing, grow_board
+from .board import BoardState, fix_missing, grow_board, knn_table
 from .geometry import rust_round
 from .quads import init_quads
 
@@ -71,6 +71,7 @@ def find_best_board(
 
     seed_idx, seed_ok = _seed_order(saddles, alive, max_seeds)
     num_groups = -(-max_seeds // seeds_per_group)
+    knn = knn_table(saddles)
 
     def empty_board() -> BoardState:
         return BoardState(
@@ -104,7 +105,7 @@ def find_best_board(
 
         boards = jax.vmap(
             lambda q, v: grow_board(
-                saddles, q, v, alive, spacing_ratio, grid_radius,
+                saddles, knn, q, v, alive, spacing_ratio, grid_radius,
                 max_attempts=max_attempts,
             )
         )(b_q, b_ok)
