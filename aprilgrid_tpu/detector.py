@@ -63,21 +63,34 @@ class TagDetector:
         params: DetectorParams | None = None,
         capacities: Capacities | None = None,
         constants: PipelineConstants | None = None,
+        use_pallas: bool | None = None,
+        mode: str = "hybrid",
     ) -> None:
+        """``mode``: "hybrid" (device dense stages + native C++ board
+        search, fastest) or "xla" (whole detect inside one jit program —
+        required for multi-chip sharding of the full pipeline)."""
         self.spec: FamilySpec = get_family(family)
         self.params = params or DetectorParams()
         self.caps = capacities or DEFAULT_CAPACITIES
         self.consts = constants or CONSTANTS
+        if mode not in ("hybrid", "xla"):
+            raise ValueError(f"unknown mode {mode!r}")
+        self.mode = mode
+        if use_pallas is None:
+            # Mosaic kernels compile on TPU backends only
+            use_pallas = jax.default_backend() not in ("cpu", "gpu")
+        self.use_pallas = use_pallas
 
     # -- jit specializations ------------------------------------------------
 
     @functools.cached_property
     def _detect_fn(self):
         spec, params, consts, caps = self.spec, self.params, self.consts, self.caps
+        up = self.use_pallas
 
         @jax.jit
         def fn(img):
-            return detect_pipeline(img, spec, params, consts, caps)
+            return detect_pipeline(img, spec, params, consts, caps, up)
 
         return fn
 
@@ -85,10 +98,12 @@ class TagDetector:
     def _detect_batch_fn(self):
         spec, params, consts, caps = self.spec, self.params, self.consts, self.caps
 
+        up = self.use_pallas
+
         @jax.jit
         def fn(imgs):
             return jax.vmap(
-                lambda im: detect_pipeline(im, spec, params, consts, caps)
+                lambda im: detect_pipeline(im, spec, params, consts, caps, up)
             )(imgs)
 
         return fn
@@ -96,10 +111,47 @@ class TagDetector:
     @functools.cached_property
     def _frontend_fn(self):
         params, consts, caps = self.params, self.consts, self.caps
+        up = self.use_pallas
 
         @jax.jit
         def fn(img):
-            return saddle_frontend(img, params, consts, caps)
+            return saddle_frontend(img, params, consts, caps, up)
+
+        return fn
+
+    @functools.cached_property
+    def _frontend_batch_fn(self):
+        params, consts, caps = self.params, self.consts, self.caps
+        up = self.use_pallas
+
+        @jax.jit
+        def fn(imgs):
+            return jax.vmap(
+                lambda im: saddle_frontend(im, params, consts, caps, up)
+            )(imgs)
+
+        return fn
+
+    @functools.cached_property
+    def _decode_batch_fn(self):
+        from .ops.decode import decode_quads
+
+        spec, consts = self.spec, self.consts
+
+        @jax.jit
+        def fn(luma8, quad_pos, quad_valid):
+            return jax.vmap(
+                lambda l8, qp, qv: decode_quads(
+                    l8,
+                    qp,
+                    qv,
+                    spec,
+                    consts.decode_margin,
+                    consts.valid_brightness_threshold,
+                    consts.max_invalid_bit,
+                    consts.min_contrast,
+                )
+            )(luma8, quad_pos, quad_valid)
 
         return fn
 
@@ -108,6 +160,8 @@ class TagDetector:
     def detect(self, img: np.ndarray) -> dict[int, list[tuple[float, float]]]:
         """Detect tags in one image; returns {tag_id: 4 corners} with the
         reference's canonical corner ordering (src/detector.rs:505-540)."""
+        if self.mode == "hybrid":
+            return self._detect_hybrid(np.asarray(img)[None])[0]
         res = self._detect_fn(jnp.asarray(img))
         return _unpack_result(jax.tree.map(np.asarray, res))
 
@@ -115,12 +169,61 @@ class TagDetector:
         self, imgs: np.ndarray
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Detect over a batch of same-shape frames (vmap over axis 0)."""
+        if self.mode == "hybrid":
+            return self._detect_hybrid(np.asarray(imgs))
         res = self._detect_batch_fn(jnp.asarray(imgs))
         res = jax.tree.map(np.asarray, res)
         return [
             _unpack_result(DetectResult(res.ids[i], res.corners[i], res.valid[i]))
             for i in range(res.ids.shape[0])
         ]
+
+    def _detect_hybrid(
+        self, imgs: np.ndarray
+    ) -> list[dict[int, list[tuple[float, float]]]]:
+        """Hybrid runtime (see native/search.cpp): TPU dense front-end,
+        native C++ board search on the tiny saddle arrays, TPU decode.
+        Semantics identical to the xla mode / the reference."""
+        from . import native
+
+        b = imgs.shape[0]
+        cap = (2 * self.caps.grid_radius + 1) ** 2
+        saddles, luma8 = self._frontend_batch_fn(jnp.asarray(imgs))
+        sp = np.asarray(saddles.p)          # (B, N, 2)
+        stheta = np.asarray(saddles.theta)  # (B, N)
+        alive = np.ascontiguousarray(np.asarray(saddles.valid), np.uint8)
+        results: list[dict] = [{} for _ in range(b)]
+        for _ in range(self.params.max_num_of_boards):
+            quads, counts = native.find_board_batch(
+                np.ascontiguousarray(sp[..., 0]),
+                np.ascontiguousarray(sp[..., 1]),
+                stheta,
+                alive,
+                spacing_ratio=self.params.tag_spacing_ratio,
+                max_seeds=self.consts.max_seeds,
+                early_exit_score=self.consts.early_exit_score,
+                cap=cap,
+            )
+            slot = np.arange(cap)[None, :]
+            quad_valid = slot < counts[:, None]
+            quad_pos = np.take_along_axis(
+                sp, np.maximum(quads, 0).reshape(b, -1, 1), axis=1
+            ).reshape(b, cap, 4, 2)
+            dec = self._decode_batch_fn(
+                luma8, jnp.asarray(quad_pos), jnp.asarray(quad_valid)
+            )
+            dec = jax.tree.map(np.asarray, dec)
+            for i in range(b):
+                for j in np.flatnonzero(dec.valid[i]):
+                    results[i][int(dec.ids[i][j])] = [
+                        (float(dec.corners[i, j, c, 0]), float(dec.corners[i, j, c, 1]))
+                        for c in range(4)
+                    ]
+                # successfully decoded quads release their saddles
+                # (src/detector.rs:517-536)
+                used = quads[i][dec.valid[i]].reshape(-1)
+                alive[i][used] = 0
+        return results
 
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
         """Front-end only (reference: src/detector.rs:408-446) — refined

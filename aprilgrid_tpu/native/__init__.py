@@ -1,0 +1,104 @@
+"""Native host runtime: C++ board search (ctypes bindings).
+
+The dense pipeline stages run on TPU; the irregular board search can run
+either fully on-device (ops/search.py) or on the host through this
+native library — the hybrid mode trades one tiny device->host transfer
+of the saddle arrays for a sequential search that matches the reference
+algorithm step for step (see native/search.cpp).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SRC = _DIR / "search.cpp"
+_LIB = _DIR / "libagsearch.so"
+
+
+def build(force: bool = False) -> Path:
+    """Compile the native library if missing or stale."""
+    if force or not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
+                "-fPIC", str(_SRC), "-o", str(_LIB),
+            ],
+            check=True,
+            capture_output=True,
+        )
+    return _LIB
+
+
+@functools.lru_cache(maxsize=None)
+def _lib() -> ctypes.CDLL:
+    lib = ctypes.CDLL(str(build()))
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    lib.ag_find_board.restype = ctypes.c_int
+    lib.ag_find_board.argtypes = [
+        f32p, f32p, f32p, u8p, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+    ]
+    lib.ag_find_board_batch.restype = None
+    lib.ag_find_board_batch.argtypes = [
+        f32p, f32p, f32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
+    ]
+    return lib
+
+
+def find_board(
+    px: np.ndarray,
+    py: np.ndarray,
+    theta: np.ndarray,
+    alive: np.ndarray,
+    spacing_ratio: float = 0.3,
+    max_seeds: int = 30,
+    early_exit_score: int = 36,
+    fast: bool = False,
+    cap: int = 169,
+) -> np.ndarray:
+    """One board-search pass; returns (count, 4) int32 tag quads."""
+    n = px.shape[0]
+    out = np.zeros((cap, 4), np.int32)
+    cnt = _lib().ag_find_board(
+        np.ascontiguousarray(px, np.float32),
+        np.ascontiguousarray(py, np.float32),
+        np.ascontiguousarray(theta, np.float32),
+        np.ascontiguousarray(alive, np.uint8),
+        n, spacing_ratio, max_seeds, early_exit_score, int(fast), out, cap,
+    )
+    return out[:cnt]
+
+
+def find_board_batch(
+    px: np.ndarray,  # (B, N)
+    py: np.ndarray,
+    theta: np.ndarray,
+    alive: np.ndarray,  # (B, N) uint8
+    spacing_ratio: float = 0.3,
+    max_seeds: int = 30,
+    early_exit_score: int = 36,
+    fast: bool = False,
+    cap: int = 169,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batched pass; returns (quads (B, cap, 4) int32, counts (B,) int32)."""
+    b, n = px.shape
+    quads = np.zeros((b, cap, 4), np.int32)
+    counts = np.zeros(b, np.int32)
+    _lib().ag_find_board_batch(
+        np.ascontiguousarray(px, np.float32),
+        np.ascontiguousarray(py, np.float32),
+        np.ascontiguousarray(theta, np.float32),
+        np.ascontiguousarray(alive, np.uint8),
+        b, n, spacing_ratio, max_seeds, early_exit_score, int(fast),
+        quads, counts, cap,
+    )
+    return quads, counts

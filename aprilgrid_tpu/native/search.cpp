@@ -1,0 +1,482 @@
+// Host-side board search: the irregular mid-section of the detect
+// pipeline as a native C++ runtime component.
+//
+// The dense stages (blur/hessian/clustering/ROCHADE/decode) run on TPU;
+// this library implements the sequential, pointer-chasing part — quad
+// hypothesis search and recursive board growth — exactly as the
+// reference does (init_quads src/detector.rs:543-586, Board
+// src/board.rs, try_find_best_board src/detector.rs:588-639), operating
+// on the saddle arrays the TPU front-end produces. A uniform spatial
+// grid replaces the reference's kd-tree for O(1) expected-time neighbor
+// queries, and the board cell map is a flat bounded grid instead of a
+// hash map.
+//
+// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC search.cpp -o libagsearch.so
+
+#include <algorithm>
+#include <array>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr float kPi = 3.14159265358979323846f;
+constexpr int kRadius = 16;              // board grid coords in [-16, 16]
+constexpr int kG = 2 * kRadius + 1;      // 33
+constexpr int kG2 = kG * kG;             // 1089
+constexpr int kEmpty = -2;               // cell states: -2 absent,
+constexpr int kNone = -1;                // -1 attempted/failed, >=0 quad slot
+
+struct Saddle {
+  float x, y, theta;
+};
+
+// |line angle difference| folded to [0, 90] (src/math_util.rs:15-23)
+inline float theta_distance_degree(float t0, float t1) {
+  float d = t0 - t1 + 90.0f;
+  if (d < 0.0f) d += 180.0f;
+  else if (d > 180.0f) d -= 180.0f;
+  return d > 90.0f ? d - 90.0f : 90.0f - d;
+}
+
+inline float cross(float ax, float ay, float bx, float by) {
+  return ax * by - ay * bx;
+}
+inline float dot(float ax, float ay, float bx, float by) {
+  return ax * bx + ay * by;
+}
+inline float angle_degree(float ax, float ay, float bx, float by) {
+  return std::atan2(by * ax - bx * ay, ax * bx + ay * by) * 180.0f / kPi;
+}
+
+// quad validity gates (src/saddle.rs:17-67)
+bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
+                   const Saddle& d1) {
+  if (theta_distance_degree(d0.theta, d1.theta) > 5.0f) return false;
+  float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
+  float v03x = d1.x - s0.x, v03y = d1.y - s0.y;
+  float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
+
+  float th = s0.theta / 180.0f * kPi;
+  float vtx = std::cos(th), vty = std::sin(th);
+  float ang = std::fabs(angle_degree(v02x, v02y, vtx, vty));
+  if (!(ang >= 60.0f && ang <= 120.0f)) return false;
+
+  float c0 = cross(v01x, v01y, v02x, v02y);
+  float c1 = cross(v02x, v02y, v03x, v03y);
+  if (c0 * c1 < 0.0f) return false;
+  float v12x = s1.x - d0.x, v12y = s1.y - d0.y;
+  float v23x = d1.x - s1.x, v23y = d1.y - s1.y;
+  float c01 = cross(v01x, v01y, v12x, v12y);
+  float c12 = cross(v12x, v12y, v23x, v23y);
+  if (c01 * c12 < 0.0f) return false;
+  float v30x = s0.x - d1.x, v30y = s0.y - d1.y;
+  float a0 = angle_degree(v01x, v01y, v12x, v12y);
+  float a1 = angle_degree(v12x, v12y, v23x, v23y);
+  float a2 = angle_degree(v23x, v23y, v30x, v30y);
+  float a3 = angle_degree(v30x, v30y, v01x, v01y);
+  if (std::fabs(a0 - a2) > 10.0f || std::fabs(a1 - a3) > 10.0f) return false;
+  if (dot(v01x, v01y, v02x, v02y) < 0.0f ||
+      dot(v03x, v03y, v02x, v02y) < 0.0f)
+    return false;
+  return true;
+}
+
+// Uniform grid over the saddle bounding box for neighbor queries
+// (replaces the reference's kd-tree, src/detector.rs:592-595).
+struct SpatialGrid {
+  float x0 = 0, y0 = 0, inv_cell = 0, cell = 1;
+  int nx = 1, ny = 1;
+  std::vector<int> starts;   // CSR layout: cell -> [starts[c], starts[c+1])
+  std::vector<int> items;
+  const std::vector<Saddle>* pts = nullptr;
+
+  void build(const std::vector<Saddle>& saddles) {
+    pts = &saddles;
+    int n = (int)saddles.size();
+    float x1 = -1e30f, y1 = -1e30f;
+    x0 = 1e30f;
+    y0 = 1e30f;
+    for (const auto& s : saddles) {
+      x0 = std::min(x0, s.x);
+      y0 = std::min(y0, s.y);
+      x1 = std::max(x1, s.x);
+      y1 = std::max(y1, s.y);
+    }
+    if (n == 0) x1 = x0 = y1 = y0 = 0;
+    float w = std::max(1.0f, x1 - x0), h = std::max(1.0f, y1 - y0);
+    cell = std::max(std::sqrt(w * h / std::max(1, n) * 2.0f), 1e-3f);
+    inv_cell = 1.0f / cell;
+    nx = std::max(1, (int)(w * inv_cell) + 1);
+    ny = std::max(1, (int)(h * inv_cell) + 1);
+    starts.assign((size_t)nx * ny + 1, 0);
+    for (int i = 0; i < n; ++i) ++starts[cell_of(saddles[i].x, saddles[i].y) + 1];
+    for (size_t c = 1; c < starts.size(); ++c) starts[c] += starts[c - 1];
+    items.resize(n);
+    std::vector<int> cursor(starts.begin(), starts.end() - 1);
+    for (int i = 0; i < n; ++i)
+      items[cursor[cell_of(saddles[i].x, saddles[i].y)]++] = i;
+  }
+
+  size_t cell_of(float x, float y) const {
+    int cx = std::clamp((int)((x - x0) * inv_cell), 0, nx - 1);
+    int cy = std::clamp((int)((y - y0) * inv_cell), 0, ny - 1);
+    return (size_t)cy * nx + cx;
+  }
+
+  // k nearest neighbors of (qx, qy), sorted by distance.
+  void knn(float qx, float qy, int k,
+           std::vector<std::pair<float, int>>& out) const {
+    out.clear();
+    const auto& saddles = *pts;
+    int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
+    int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
+    int max_ring = nx + ny;
+    for (int ring = 0; ring <= max_ring; ++ring) {
+      int xa = cx - ring, xb = cx + ring, ya = cy - ring, yb = cy + ring;
+      for (int gy = std::max(0, ya); gy <= std::min(ny - 1, yb); ++gy) {
+        bool edge_row = (gy == ya || gy == yb);
+        int step = (edge_row || xb == xa) ? 1 : (xb - xa);
+        for (int gx = std::max(0, xa); gx <= std::min(nx - 1, xb);
+             gx += step) {
+          size_t c = (size_t)gy * nx + gx;
+          for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
+            int i = items[ii];
+            float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+            out.emplace_back(dx * dx + dy * dy, i);
+          }
+        }
+      }
+      if ((int)out.size() >= k) {
+        std::partial_sort(out.begin(), out.begin() + k, out.end());
+        // guaranteed-complete radius after ring r is (r-1) cells (the
+        // query point may sit at a corner of its cell)
+        float safe = (float)(ring - 1) * cell;
+        if (ring >= 1 && out[k - 1].first <= safe * safe) {
+          out.resize(k);
+          return;
+        }
+      }
+    }
+    std::sort(out.begin(), out.end());
+    if ((int)out.size() > k) out.resize(k);
+  }
+};
+
+// Reusable workspace: one Board growth (Board, src/board.rs:18-235)
+// on a flat bounded grid.
+struct Workspace {
+  std::vector<int> cellmap;             // kG2, kEmpty/kNone/slot
+  std::vector<int> touched;             // dirty cells for cheap reset
+  std::vector<std::array<int, 4>> quads;
+  std::vector<uint8_t> active;
+  std::vector<std::pair<float, int>> nn;
+  std::vector<std::array<int, 3>> dfs;  // (x, y, next_dir)
+
+  Workspace() : cellmap(kG2, kEmpty) {}
+
+  void reset() {
+    for (int c : touched) cellmap[c] = kEmpty;
+    touched.clear();
+    quads.clear();
+    dfs.clear();
+  }
+
+  static int cid(int x, int y) {
+    return (y + kRadius) * kG + (x + kRadius);
+  }
+  static bool inside(int x, int y) {
+    return x >= -kRadius && x <= kRadius && y >= -kRadius && y <= kRadius;
+  }
+  int get(int x, int y) const {
+    return inside(x, y) ? cellmap[cid(x, y)] : kEmpty;
+  }
+  void put(int x, int y, int v) {
+    if (!inside(x, y)) return;
+    int c = cid(x, y);
+    if (cellmap[c] == kEmpty) touched.push_back(c);
+    cellmap[c] = v;
+  }
+};
+
+struct Searcher {
+  const std::vector<Saddle>& s;
+  const SpatialGrid& grid;
+  float spacing;
+  Workspace& ws;
+  int score = 0;
+
+  Searcher(const std::vector<Saddle>& saddles, const SpatialGrid& g,
+           float spacing_ratio, Workspace& w)
+      : s(saddles), grid(g), spacing(spacing_ratio), ws(w) {}
+
+  // find_closest_potential_saddle_idxs (src/board.rs:177-234)
+  void closest_potential(const Saddle& a, const Saddle& b, int out0[3],
+                         int& n0, int out1[3], int& n1) {
+    float ratio = 1.0f + spacing;
+    float vx = b.x - a.x, vy = b.y - a.y;
+    float radius_sq = 0.5f * (vx * vx + vy * vy);
+    n0 = n1 = 0;
+    grid.knn(a.x + vx * ratio, a.y + vy * ratio, 3, ws.nn);
+    for (auto& [dsq, idx] : ws.nn) {
+      if (dsq <= radius_sq && ws.active[idx] &&
+          theta_distance_degree(a.theta, s[idx].theta) < 5.0f)
+        out0[n0++] = idx;
+    }
+    grid.knn(b.x + vx * ratio, b.y + vy * ratio, 3, ws.nn);
+    for (auto& [dsq, idx] : ws.nn) {
+      if (dsq <= radius_sq && ws.active[idx] &&
+          theta_distance_degree(b.theta, s[idx].theta) < 5.0f)
+        out1[n1++] = idx;
+    }
+  }
+
+  // try_expand_one (src/board.rs:153-176)
+  bool try_expand_one(const int q[4], int out[4]) {
+    int n0, n1, n2, n3;
+    int c0[3], c1[3], c2[3], c3[3];
+    closest_potential(s[q[0]], s[q[1]], c0, n0, c1, n1);
+    if (n0 == 0 || n1 == 0) return false;
+    closest_potential(s[q[3]], s[q[2]], c3, n3, c2, n2);
+    for (int i0 = 0; i0 < n0; ++i0)
+      for (int i1 = 0; i1 < n1; ++i1)
+        for (int i2 = 0; i2 < n2; ++i2)
+          for (int i3 = 0; i3 < n3; ++i3)
+            if (is_valid_quad(s[c0[i0]], s[c1[i1]], s[c2[i2]], s[c3[i3]])) {
+              out[0] = c0[i0];
+              out[1] = c1[i1];
+              out[2] = c2[i2];
+              out[3] = c3[i3];
+              return true;
+            }
+    return false;
+  }
+
+  // Board::new + try_expand (src/board.rs:27-152) with an explicit DFS
+  // stack carrying per-cell direction progress (no retries).
+  void grow(const int* seed, const std::vector<uint8_t>& active_mask) {
+    ws.reset();
+    ws.active = active_mask;
+    for (int i = 1; i < 4; ++i) ws.active[seed[i]] = 0;
+    ws.quads.push_back({seed[0], seed[1], seed[2], seed[3]});
+    ws.put(0, 0, 0);
+    score = 1;
+    ws.dfs.push_back({0, 0, 0});
+    static const int dxs[4] = {1, 0, -1, 0};
+    static const int dys[4] = {0, -1, 0, 1};
+    while (!ws.dfs.empty()) {
+      auto& [x, y, di] = ws.dfs.back();
+      if (di == 4) {
+        ws.dfs.pop_back();
+        continue;
+      }
+      int i = di++;
+      int slot = ws.get(x, y);
+      if (slot < 0) {  // should not happen; guard
+        ws.dfs.pop_back();
+        continue;
+      }
+      const auto quad = ws.quads[slot];
+      int q[4];
+      for (int j = 0; j < 4; ++j) q[j] = quad[(j + i) % 4];  // rotate_left(i)
+      int nx_ = x + dxs[i], ny_ = y + dys[i];
+      int st = ws.get(nx_, ny_);
+      if (st >= 0) continue;
+      if (!Workspace::inside(nx_, ny_)) continue;
+      int found[4];
+      if (try_expand_one(q, found)) {
+        std::array<int, 4> v;
+        for (int j = 0; j < 4; ++j) v[(j + i) % 4] = found[j];  // rotate_right
+        for (int j = 0; j < 4; ++j) ws.active[v[j]] = 0;
+        ++score;
+        ws.quads.push_back(v);
+        ws.put(nx_, ny_, (int)ws.quads.size() - 1);
+        ws.dfs.push_back({nx_, ny_, 0});  // depth-first recursion
+      } else {
+        ws.put(nx_, ny_, kNone);
+      }
+    }
+  }
+
+  // try_fix_missing (src/board.rs:52-112) on the flat grid
+  void fix_missing() {
+    std::vector<std::array<int, 4>> fixes;  // (x0,y0,x1,y1) donor cells
+    for (int c : ws.touched) {
+      if (ws.cellmap[c] != kNone) continue;
+      int x = c % kG - kRadius, y = c / kG - kRadius;
+      int b0 = ws.get(x + 1, y), b1 = ws.get(x - 1, y);
+      int b2 = ws.get(x, y + 1), b3 = ws.get(x, y - 1);
+      if (b0 != kEmpty && b1 != kEmpty) {
+        if (b0 >= 0 && b1 >= 0) fixes.push_back({x + 1, y, x - 1, y});
+      } else if (b2 != kEmpty && b3 != kEmpty && b2 >= 0 && b3 >= 0) {
+        fixes.push_back({x, y + 1, x, y - 1});
+      }
+    }
+    for (auto& f : fixes) {
+      const auto& q0 = ws.quads[ws.get(f[0], f[1])];
+      const auto& q1 = ws.quads[ws.get(f[2], f[3])];
+      int idxs[4];
+      for (int i = 0; i < 4; ++i) {
+        float mx = (s[q0[i]].x + s[q1[i]].x) * 0.5f;
+        float my = (s[q0[i]].y + s[q1[i]].y) * 0.5f;
+        grid.knn(mx, my, 1, ws.nn);
+        idxs[i] = ws.nn.empty() ? 0 : ws.nn[0].second;
+      }
+      if (is_valid_quad(s[idxs[0]], s[idxs[1]], s[idxs[2]], s[idxs[3]])) {
+        ws.quads.push_back({idxs[0], idxs[1], idxs[2], idxs[3]});
+        ws.put((f[0] + f[2]) / 2, (f[1] + f[3]) / 2, (int)ws.quads.size() - 1);
+      }
+    }
+  }
+};
+
+// init_quads (src/detector.rs:543-586)
+void init_quads(const std::vector<Saddle>& s, const SpatialGrid& grid,
+                int s0_idx, std::vector<std::pair<float, int>>& nn,
+                std::vector<std::array<int, 4>>& out) {
+  out.clear();
+  const Saddle& s0 = s[s0_idx];
+  grid.knn(s0.x, s0.y, std::min<size_t>(50, s.size()), nn);
+  std::vector<int> same, diff;
+  for (size_t i = 1; i < nn.size(); ++i) {
+    int idx = nn[i].second;
+    float td = theta_distance_degree(s0.theta, s[idx].theta);
+    if (td < 5.0f)
+      same.push_back(idx);
+    else if (td > 80.0f)
+      diff.push_back(idx);
+  }
+  for (int s1_idx : same) {
+    for (size_t a = 0; a < diff.size(); ++a) {
+      for (size_t b = a + 1; b < diff.size(); ++b) {
+        const Saddle& d0 = s[diff[a]];
+        const Saddle& d1 = s[diff[b]];
+        if (!is_valid_quad(s0, d0, s[s1_idx], d1)) continue;
+        float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
+        float v02x = s[s1_idx].x - s0.x, v02y = s[s1_idx].y - s0.y;
+        if (cross(v01x, v01y, v02x, v02y) > 0.0f)
+          out.push_back({s0_idx, diff[a], s1_idx, diff[b]});
+        else
+          out.push_back({s0_idx, diff[b], s1_idx, diff[a]});
+      }
+    }
+  }
+}
+
+float rust_round(float v) {
+  return std::copysign(std::floor(std::fabs(v) + 0.5f), v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// One try_find_best_board pass (src/detector.rs:588-639) over the alive
+// saddles. Returns the number of tag quads written to out_quads
+// (cap x 4 int32 global saddle indices). fast!=0 skips re-growing a
+// candidate quad whose saddles already all belong to the current best
+// board once the early-exit score is reached (output-equivalent on
+// clean data; exact mode grows every candidate like the reference).
+int ag_find_board(const float* px, const float* py, const float* theta,
+                  const uint8_t* alive, int n, float spacing_ratio,
+                  int max_seeds, int early_exit_score, int fast,
+                  int32_t* out_quads, int cap) {
+  std::vector<Saddle> s;
+  std::vector<int> gidx;
+  s.reserve(n);
+  for (int i = 0; i < n; ++i) {
+    if (alive[i]) {
+      s.push_back({px[i], py[i], theta[i]});
+      gidx.push_back(i);
+    }
+  }
+  int m = (int)s.size();
+  if (m == 0) return 0;
+
+  SpatialGrid grid;
+  grid.build(s);
+
+  // theta histogram over integer degrees in [-90, 90]; largest bucket,
+  // seeds popped back-to-front (src/detector.rs:601-617)
+  std::vector<std::vector<int>> buckets(181);
+  for (int i = 0; i < m; ++i) {
+    int b = std::clamp((int)rust_round(s[i].theta) + 90, 0, 180);
+    buckets[b].push_back(i);
+  }
+  size_t best_b = 0;
+  for (size_t b = 1; b < buckets.size(); ++b)
+    if (buckets[b].size() > buckets[best_b].size()) best_b = b;
+  std::vector<int> seeds = buckets[best_b];
+
+  std::vector<uint8_t> active_mask(m, 1);
+  Workspace ws, best_ws;
+  Searcher searcher(s, grid, spacing_ratio, ws);
+  int best_score = 0;
+  std::vector<std::array<int, 4>> best_quads;
+  std::vector<int> best_cellmap;
+  std::vector<int> best_touched;
+  std::vector<uint8_t> in_best(m, 0);
+  std::vector<std::array<int, 4>> cand;
+  std::vector<std::pair<float, int>> nn;
+  int count = 0;
+  while (!seeds.empty() && count < max_seeds) {
+    int s0 = seeds.back();
+    seeds.pop_back();
+    init_quads(s, grid, s0, nn, cand);
+    for (auto& q : cand) {
+      if (fast && best_score >= early_exit_score && in_best[q[0]] &&
+          in_best[q[1]] && in_best[q[2]] && in_best[q[3]])
+        continue;
+      int qi[4] = {q[0], q[1], q[2], q[3]};
+      searcher.grow(qi, active_mask);
+      if (searcher.score > best_score) {
+        best_score = searcher.score;
+        best_quads = ws.quads;
+        best_cellmap = ws.cellmap;
+        best_touched = ws.touched;
+        std::fill(in_best.begin(), in_best.end(), 0);
+        for (auto& bq : best_quads)
+          for (int j = 0; j < 4; ++j) in_best[bq[j]] = 1;
+      }
+    }
+    if (best_score >= early_exit_score) break;
+    ++count;
+  }
+  if (best_score == 0) return 0;
+
+  // restore the best board into the workspace and repair holes
+  ws.reset();
+  ws.quads = best_quads;
+  ws.cellmap = best_cellmap;
+  ws.touched = best_touched;
+  searcher.fix_missing();
+
+  int written = 0;
+  for (int c : ws.touched) {
+    int slot = ws.cellmap[c];
+    if (slot < 0 || written >= cap) continue;
+    for (int j = 0; j < 4; ++j)
+      out_quads[written * 4 + j] = gidx[ws.quads[slot][j]];
+    ++written;
+  }
+  return written;
+}
+
+// Batched variant: B independent frames with the same layout.
+void ag_find_board_batch(const float* px, const float* py,
+                         const float* theta, const uint8_t* alive, int b,
+                         int n, float spacing_ratio, int max_seeds,
+                         int early_exit_score, int fast, int32_t* out_quads,
+                         int32_t* out_counts, int cap) {
+  for (int i = 0; i < b; ++i) {
+    out_counts[i] =
+        ag_find_board(px + (size_t)i * n, py + (size_t)i * n,
+                      theta + (size_t)i * n, alive + (size_t)i * n, n,
+                      spacing_ratio, max_seeds, early_exit_score, fast,
+                      out_quads + (size_t)i * cap * 4, cap);
+  }
+}
+
+}  // extern "C"

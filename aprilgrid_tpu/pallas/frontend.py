@@ -1,0 +1,127 @@
+"""Fused Pallas front-end kernel: Gaussian blur + Hessian response.
+
+One kernel per row-tile computes both whole-image hot loops of the
+reference (gaussian_blur_f32 src/image_util.rs:110-206 and
+hessian_response src/image_util.rs:72-109) in VMEM: the caller pre-pads
+the luma plane with 4 edge-replicated rows/columns (handling the
+reference's clamped-border semantics), each grid step reads an
+overlapping (TILE_H + 8) row slab from HBM via async DMA, and the 7-tap
+separable blur plus the 3x3 Hessian stencil run as lane/sublane rolls —
+a single fused pass instead of ~25 XLA ops.
+
+Numerics match ops/frontend.py exactly (same tap order, f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.frontend import gaussian_kernel
+
+_HALO = 4  # blur radius 3 + 1 hessian row
+
+
+def _roll(x, shift, axis):
+    """pltpu.roll with negative shifts normalized (it requires >= 0)."""
+    if shift == 0:
+        return x
+    return pltpu.roll(x, shift % x.shape[axis], axis)
+
+
+def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h):
+    i = pl.program_id(0)
+    radius = (len(taps) - 1) // 2
+
+    copy = pltpu.make_async_copy(
+        luma_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _HALO), :],
+        slab,
+        sem,
+    )
+    copy.start()
+    copy.wait()
+
+    x = slab[:]  # (tile_h + 8, w_pad + 256)
+
+    # horizontal pass — lane rolls; cyclic wrap only pollutes the outer
+    # columns of the pad, never the valid center
+    temp = jnp.zeros_like(x)
+    for k, kw in enumerate(taps):
+        temp = temp + _roll(x, radius - k, 1) * kw
+    # vertical pass — sublane rolls
+    blur = jnp.zeros_like(x)
+    for k, kw in enumerate(taps):
+        blur = blur + _roll(temp, radius - k, 0) * kw
+
+    # hessian stencil on the blurred slab
+    left = _roll(blur, 1, 1)
+    right = _roll(blur, -1, 1)
+    up = _roll(blur, 1, 0)
+    down = _roll(blur, -1, 0)
+    ul = _roll(up, 1, 1)
+    ur = _roll(up, -1, 1)
+    dl = _roll(down, 1, 1)
+    dr = _roll(down, -1, 1)
+    lxx = left - 2.0 * blur + right
+    lyy = up - 2.0 * blur + down
+    lxy = (ur - ul + dl - dr) * 0.25
+    resp = lxx * lyy - lxy * lxy
+
+    # zero the global border rows/cols (reference leaves them 0)
+    grow = i * tile_h + jax.lax.broadcasted_iota(
+        jnp.int32, (tile_h, w_pad), 0
+    )
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
+    border = (grow == 0) | (grow == h - 1) | (gcol == 0)
+    center = (slice(_HALO, _HALO + tile_h), slice(128, 128 + w_pad))
+    blur_ref[:, :] = blur[center]
+    resp_ref[:, :] = jnp.where(border, 0.0, resp[center])
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
+def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = False):
+    """(H, W) f32 luma -> (blur, resp), both (H, W) f32.
+
+    Matches gaussian_blur + hessian_response from ops/frontend.py.
+    """
+    taps = tuple(float(v) for v in gaussian_kernel(sigma))
+    assert len(taps) == 2 * 3 + 1, "kernel tuned for sigma<=1.5 (radius 3)"
+    h, w = luma.shape
+    tile_h = 256
+    h_pad = -(-h // tile_h) * tile_h
+    w_pad = -(-w // 128) * 128
+
+    # pad: 4 edge rows (clamped border), lane pad to 128-multiples with a
+    # full 128-lane left guard so rolls never wrap valid data into view
+    x = jnp.pad(luma, ((_HALO, _HALO + h_pad - h), (0, w_pad - w)), mode="edge")
+    x = jnp.pad(x, ((0, 0), (128, 128)), mode="edge")
+
+    grid = h_pad // tile_h
+    blur, resp = pl.pallas_call(
+        functools.partial(_kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(
+            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h + 2 * _HALO, w_pad + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x)
+    blur = blur[:h, :w]
+    resp = resp[:h, :w]
+    # right border col of the true image (w-1) must be zeroed too
+    resp = resp.at[:, w - 1].set(0.0)
+    return blur, resp

@@ -29,11 +29,17 @@ def saddle_frontend(
     params: DetectorParams,
     consts: PipelineConstants,
     caps: Capacities,
+    use_pallas: bool = False,
 ) -> tuple[Saddles, jnp.ndarray]:
     """Refined saddle points + u8 luma plane (for the bit sampler)."""
     luma_f, luma_u8 = to_luma(img)
-    blur = gaussian_blur(luma_f, consts.blur_sigma)
-    resp = hessian_response(blur)
+    if use_pallas:
+        from .pallas.frontend import fused_frontend
+
+        blur, resp = fused_frontend(luma_f, consts.blur_sigma)
+    else:
+        blur = gaussian_blur(luma_f, consts.blur_sigma)
+        resp = hessian_response(blur)
     clusters = cluster_centroids(
         resp,
         consts.response_threshold_ratio,
@@ -72,11 +78,12 @@ def detect_pipeline(
     params: DetectorParams,
     consts: PipelineConstants,
     caps: Capacities,
+    use_pallas: bool = False,
 ) -> DetectResult:
     """Full detect() (reference src/detector.rs:505-540): saddle frontend,
     then ``max_num_of_boards`` rounds of board search + decode, removing
     the saddles of successfully decoded tags between rounds."""
-    saddles, luma8 = saddle_frontend(img, params, consts, caps)
+    saddles, luma8 = saddle_frontend(img, params, consts, caps, use_pallas)
     n = saddles.valid.shape[0]
     alive = saddles.valid
 
