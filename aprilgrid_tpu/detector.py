@@ -25,7 +25,13 @@ from .config import (
     PipelineConstants,
 )
 from .families import FamilySpec, TagFamily, get_family
-from .pipeline import DetectResult, detect_pipeline, saddle_frontend
+from .pipeline import (
+    DetectResult,
+    detect_pipeline,
+    detect_pipeline_batch,
+    saddle_frontend,
+    saddle_frontend_batch,
+)
 
 
 class Saddle:
@@ -102,9 +108,7 @@ class TagDetector:
 
         @jax.jit
         def fn(imgs):
-            return jax.vmap(
-                lambda im: detect_pipeline(im, spec, params, consts, caps, up)
-            )(imgs)
+            return detect_pipeline_batch(imgs, spec, params, consts, caps, up)
 
         return fn
 
@@ -126,9 +130,7 @@ class TagDetector:
 
         @jax.jit
         def fn(imgs):
-            return jax.vmap(
-                lambda im: saddle_frontend(im, params, consts, caps, up)
-            )(imgs)
+            return saddle_frontend_batch(imgs, params, consts, caps, up)
 
         return fn
 

@@ -35,11 +35,12 @@ def _roll(x, shift, axis):
 
 
 def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h):
-    i = pl.program_id(0)
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
     radius = (len(taps) - 1) // 2
 
     copy = pltpu.make_async_copy(
-        luma_hbm.at[pl.ds(i * tile_h, tile_h + 2 * _HALO), :],
+        luma_hbm.at[bi, pl.ds(i * tile_h, tile_h + 2 * _HALO), :],
         slab,
         sem,
     )
@@ -79,40 +80,51 @@ def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h):
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
     border = (grow == 0) | (grow == h - 1) | (gcol == 0)
     center = (slice(_HALO, _HALO + tile_h), slice(128, 128 + w_pad))
-    blur_ref[:, :] = blur[center]
-    resp_ref[:, :] = jnp.where(border, 0.0, resp[center])
+    blur_ref[0, :, :] = blur[center]
+    resp_ref[0, :, :] = jnp.where(border, 0.0, resp[center])
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
 def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = False):
-    """(H, W) f32 luma -> (blur, resp), both (H, W) f32.
+    """(H, W) or (B, H, W) f32 luma -> (blur, resp) of the same shape.
 
-    Matches gaussian_blur + hessian_response from ops/frontend.py.
+    Matches gaussian_blur + hessian_response from ops/frontend.py. The
+    batch dimension is handled natively by the kernel grid (Pallas calls
+    with ANY-space inputs cannot be vmapped).
     """
+    squeeze = luma.ndim == 2
+    if squeeze:
+        luma = luma[None]
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 2 * 3 + 1, "kernel tuned for sigma<=1.5 (radius 3)"
-    h, w = luma.shape
+    b, h, w = luma.shape
     tile_h = 256
     h_pad = -(-h // tile_h) * tile_h
     w_pad = -(-w // 128) * 128
 
     # pad: 4 edge rows (clamped border), lane pad to 128-multiples with a
     # full 128-lane left guard so rolls never wrap valid data into view
-    x = jnp.pad(luma, ((_HALO, _HALO + h_pad - h), (0, w_pad - w)), mode="edge")
-    x = jnp.pad(x, ((0, 0), (128, 128)), mode="edge")
+    x = jnp.pad(
+        luma, ((0, 0), (_HALO, _HALO + h_pad - h), (0, w_pad - w)), mode="edge"
+    )
+    x = jnp.pad(x, ((0, 0), (0, 0), (128, 128)), mode="edge")
 
-    grid = h_pad // tile_h
+    grid = (b, h_pad // tile_h)
     blur, resp = pl.pallas_call(
         functools.partial(_kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h),
-        grid=(grid,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
-            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_h, w_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+            ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _HALO, w_pad + 256), jnp.float32),
@@ -120,8 +132,10 @@ def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = Fals
         ],
         interpret=interpret,
     )(x)
-    blur = blur[:h, :w]
-    resp = resp[:h, :w]
+    blur = blur[:, :h, :w]
+    resp = resp[:, :h, :w]
     # right border col of the true image (w-1) must be zeroed too
-    resp = resp.at[:, w - 1].set(0.0)
+    resp = resp.at[:, :, w - 1].set(0.0)
+    if squeeze:
+        blur, resp = blur[0], resp[0]
     return blur, resp

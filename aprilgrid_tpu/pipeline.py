@@ -24,6 +24,37 @@ from .ops.rochade import Saddles, filter_and_compact, rochade_refine
 from .ops.search import find_best_board
 
 
+def _frontend_tail(
+    blur: jnp.ndarray,
+    resp: jnp.ndarray,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+) -> Saddles:
+    """cluster -> ROCHADE -> gates, per frame (vmappable)."""
+    clusters = cluster_centroids(
+        resp,
+        consts.response_threshold_ratio,
+        caps.max_clusters,
+        caps.max_masked,
+        caps.label_prop_rounds,
+    )
+    raw = rochade_refine(
+        blur,
+        clusters.centers,
+        clusters.valid,
+        consts.rochade_half_patch,
+        consts.rochade_move_threshold,
+    )
+    return filter_and_compact(
+        raw,
+        caps.max_saddles,
+        consts.saddle_k_ratio,
+        params.min_saddle_angle,
+        params.max_saddle_angle,
+    )
+
+
 def saddle_frontend(
     img: jnp.ndarray,
     params: DetectorParams,
@@ -40,27 +71,32 @@ def saddle_frontend(
     else:
         blur = gaussian_blur(luma_f, consts.blur_sigma)
         resp = hessian_response(blur)
-    clusters = cluster_centroids(
-        resp,
-        consts.response_threshold_ratio,
-        caps.max_clusters,
-        caps.max_masked,
-        caps.label_prop_rounds,
-    )
-    raw = rochade_refine(
-        blur,
-        clusters.centers,
-        clusters.valid,
-        consts.rochade_half_patch,
-        consts.rochade_move_threshold,
-    )
-    saddles = filter_and_compact(
-        raw,
-        caps.max_saddles,
-        consts.saddle_k_ratio,
-        params.min_saddle_angle,
-        params.max_saddle_angle,
-    )
+    saddles = _frontend_tail(blur, resp, params, consts, caps)
+    return saddles, luma_u8
+
+
+def saddle_frontend_batch(
+    imgs: jnp.ndarray,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+    use_pallas: bool = False,
+) -> tuple[Saddles, jnp.ndarray]:
+    """Batched front-end. The Pallas stencil kernel handles the batch
+    dimension in its grid (it cannot be vmapped); everything else vmaps."""
+    import jax
+
+    luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
+    if use_pallas:
+        from .pallas.frontend import fused_frontend
+
+        blur, resp = fused_frontend(luma_f, consts.blur_sigma)
+    else:
+        blur = jax.vmap(lambda x: gaussian_blur(x, consts.blur_sigma))(luma_f)
+        resp = jax.vmap(hessian_response)(blur)
+    saddles = jax.vmap(
+        lambda b, r: _frontend_tail(b, r, params, consts, caps)
+    )(blur, resp)
     return saddles, luma_u8
 
 
@@ -72,18 +108,17 @@ class DetectResult(NamedTuple):
     valid: jnp.ndarray    # (P * G2,) bool
 
 
-def detect_pipeline(
-    img: jnp.ndarray,
+def detect_tail(
+    saddles: Saddles,
+    luma8: jnp.ndarray,
     spec: FamilySpec,
     params: DetectorParams,
     consts: PipelineConstants,
     caps: Capacities,
-    use_pallas: bool = False,
 ) -> DetectResult:
-    """Full detect() (reference src/detector.rs:505-540): saddle frontend,
-    then ``max_num_of_boards`` rounds of board search + decode, removing
-    the saddles of successfully decoded tags between rounds."""
-    saddles, luma8 = saddle_frontend(img, params, consts, caps, use_pallas)
+    """``max_num_of_boards`` rounds of board search + decode, removing
+    the saddles of successfully decoded tags between rounds
+    (reference src/detector.rs:510-538). Per frame (vmappable)."""
     n = saddles.valid.shape[0]
     alive = saddles.valid
 
@@ -130,3 +165,33 @@ def detect_pipeline(
         corners=jnp.concatenate(all_corners),
         valid=jnp.concatenate(all_valid),
     )
+
+
+def detect_pipeline(
+    img: jnp.ndarray,
+    spec: FamilySpec,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+    use_pallas: bool = False,
+) -> DetectResult:
+    """Full detect() (reference src/detector.rs:505-540) for one image."""
+    saddles, luma8 = saddle_frontend(img, params, consts, caps, use_pallas)
+    return detect_tail(saddles, luma8, spec, params, consts, caps)
+
+
+def detect_pipeline_batch(
+    imgs: jnp.ndarray,
+    spec: FamilySpec,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+    use_pallas: bool = False,
+) -> DetectResult:
+    """Batched full detect() (BASELINE.json config 2: vmap over frames)."""
+    import jax
+
+    saddles, luma8 = saddle_frontend_batch(imgs, params, consts, caps, use_pallas)
+    return jax.vmap(
+        lambda s, l8: detect_tail(s, l8, spec, params, consts, caps)
+    )(saddles, luma8)
