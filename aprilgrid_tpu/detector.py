@@ -163,7 +163,7 @@ class TagDetector:
         """Detect tags in one image; returns {tag_id: 4 corners} with the
         reference's canonical corner ordering (src/detector.rs:505-540)."""
         if self.mode == "hybrid":
-            return self._detect_hybrid(np.asarray(img)[None])[0]
+            return self._detect_hybrid(jnp.asarray(img)[None])[0]
         res = self._detect_fn(jnp.asarray(img))
         return _unpack_result(jax.tree.map(np.asarray, res))
 
@@ -172,7 +172,7 @@ class TagDetector:
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Detect over a batch of same-shape frames (vmap over axis 0)."""
         if self.mode == "hybrid":
-            return self._detect_hybrid(np.asarray(imgs))
+            return self._detect_hybrid(jnp.asarray(imgs))
         res = self._detect_batch_fn(jnp.asarray(imgs))
         res = jax.tree.map(np.asarray, res)
         return [
@@ -190,7 +190,8 @@ class TagDetector:
 
         b = imgs.shape[0]
         cap = (2 * self.caps.grid_radius + 1) ** 2
-        saddles, luma8 = self._frontend_batch_fn(jnp.asarray(imgs))
+        dcap = min(cap, 4 * self.caps.max_tags)
+        saddles, luma8 = self._frontend_batch_fn(imgs)
         sp = np.asarray(saddles.p)          # (B, N, 2)
         stheta = np.asarray(saddles.theta)  # (B, N)
         alive = np.ascontiguousarray(np.asarray(saddles.valid), np.uint8)
@@ -206,11 +207,12 @@ class TagDetector:
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
-            slot = np.arange(cap)[None, :]
+            quads = quads[:, :dcap]
+            slot = np.arange(dcap)[None, :]
             quad_valid = slot < counts[:, None]
             quad_pos = np.take_along_axis(
                 sp, np.maximum(quads, 0).reshape(b, -1, 1), axis=1
-            ).reshape(b, cap, 4, 2)
+            ).reshape(b, dcap, 4, 2)
             dec = self._decode_batch_fn(
                 luma8, jnp.asarray(quad_pos), jnp.asarray(quad_valid)
             )

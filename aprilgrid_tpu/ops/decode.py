@@ -110,7 +110,7 @@ def decode_quads(
     sample_ok = ((sx < w) & (sy < h)).all(axis=-1)
     xi = jnp.clip(sx.astype(jnp.int32), 0, w - 1)
     yi = jnp.clip(sy.astype(jnp.int32), 0, h - 1)
-    bright = luma8[yi, xi]  # (T, nb) int32
+    bright = luma8[yi, xi].astype(jnp.int32)  # (T, nb)
 
     min_b = bright.min(axis=-1)
     max_b = bright.max(axis=-1)

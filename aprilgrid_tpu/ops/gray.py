@@ -22,12 +22,11 @@ def to_luma(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """
     if img.ndim == 2:
         if img.dtype == jnp.uint8:
-            v = img.astype(jnp.int32)
-            return img.astype(jnp.float32) / 255.0, v
+            return img.astype(jnp.float32) / 255.0, img
         if img.dtype == jnp.uint16:
             v = img.astype(jnp.int32)
             # u16 -> u8 with rounding scale 255/65535 in integer arithmetic.
-            u8 = (v * 255 + 32767) // 65535
+            u8 = ((v * 255 + 32767) // 65535).astype(jnp.uint8)
             return img.astype(jnp.float32) / 65535.0, u8
         raise TypeError(f"unsupported gray dtype {img.dtype}")
     if img.ndim == 3 and img.shape[2] in (3, 4) and img.dtype == jnp.uint8:
@@ -37,7 +36,8 @@ def to_luma(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         )
         rgbi = img[..., :3].astype(jnp.int32)
         luma_u8 = (
-            2126 * rgbi[..., 0] + 7152 * rgbi[..., 1] + 722 * rgbi[..., 2]
-        ) // 10000
+            (2126 * rgbi[..., 0] + 7152 * rgbi[..., 1] + 722 * rgbi[..., 2])
+            // 10000
+        ).astype(jnp.uint8)
         return luma_f, luma_u8
     raise TypeError(f"unsupported image shape/dtype {img.shape} {img.dtype}")

@@ -1,0 +1,315 @@
+"""Fused Pallas kernels: connected-component clustering + ROCHADE.
+
+Replaces the XLA label-propagation path (ops/cluster.py + ops/rochade.py)
+whose ~150 whole-image ops dominate device time. The response plane is
+swept in overlapping 88-row windows with 32-row assignment bands; saddle
+response blobs are tiny (<=~30 px, see SURVEY.md), so each cluster is
+wholly contained in the window whose band holds its top-most (minimum
+linear index) pixel. Two kernels, each VMEM-resident per window:
+
+1. ``_label_kernel``: threshold mask, min-index label relaxation to a
+   fixpoint, root extraction in ascending label order (the reference's
+   scan-order cluster enumeration) with centroids from masked
+   reductions;
+2. ``_rochade_kernel``: the ROCHADE quadric fit (reference
+   src/detector.rs:194-361) evaluated DENSELY over the window — cone
+   smoothing and the 5 fit coefficients are 25-tap stencils (~150
+   shifted multiply-adds per window) — then sampled at each centroid
+   with the scalar subpixel solve and acceptance gates.
+
+Each kernel reads ~1.3x one image plane from HBM; no whole-image
+intermediate is ever materialized. Clusters spanning more than ~40 rows
+are dropped (far beyond any observed blob; the XLA path has no cap).
+
+Inputs must be padded (width a multiple of 128, height a multiple of 8
+and >= 88) with response >= 0 in all padding —
+`pallas.frontend.fused_frontend(crop=False)` produces exactly this.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.rochade import Saddles, _constants
+from . import mathx
+
+_BAND = 32      # rows assigned per tile
+_WIN = 88       # window rows (band + tall-cluster headroom + margins)
+_TOP = 8        # rows of context above the band (8-aligned DMA starts)
+_SLOTS = 256    # max clusters extracted per tile
+
+
+def _window_start(ti, hp):
+    return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
+
+
+def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, slots, sem, *, h, w):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    hp = resp_hbm.shape[1]
+    row0 = _window_start(ti, hp)
+
+    cp = pltpu.make_async_copy(
+        resp_hbm.at[bi, pl.ds(row0, _WIN), :], resp_w, sem
+    )
+    cp.start()
+    cp.wait()
+
+    thr = thr_ref[bi, 0]
+    resp = resp_w[:]
+    wp = resp.shape[1]
+
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 0)
+    cloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 1)
+    grow = row0 + rloc
+    mask = resp < thr  # padding has resp >= 0 > thr, never masked
+
+    big = jnp.int32(2**30)
+    own = grow * w + cloc
+    init = jnp.where(mask, own, big)
+
+    def relax(lab):
+        up = jnp.where(rloc == 0, big, pltpu.roll(lab, _WIN - 1, 0))
+        down = jnp.where(rloc == _WIN - 1, big, pltpu.roll(lab, 1, 0))
+        left = jnp.where(cloc == 0, big, pltpu.roll(lab, wp - 1, 1))
+        right = jnp.where(cloc == wp - 1, big, pltpu.roll(lab, 1, 1))
+        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        return jnp.where(mask, jnp.minimum(lab, m), big)
+
+    def lbody(state):
+        lab, _ = state
+        for _ in range(3):
+            lab = relax(lab)
+        nxt = relax(lab)
+        return nxt, jnp.any(nxt != lab)
+
+    labels, _ = lax.while_loop(
+        lambda s: s[1], lbody, (relax(init), jnp.bool_(True))
+    )
+
+    band_lo = ti * _BAND
+    root = mask & (labels == own) & (grow >= band_lo) & (grow < band_lo + _BAND)
+    root_label = jnp.where(root, own, big)
+
+    slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
+    colf = cloc.astype(jnp.float32)
+    growf = grow.astype(jnp.float32)
+    window_truncated = row0 + _WIN < h
+
+    def sbody(state):
+        s, rem = state
+        lbl = jnp.min(rem)
+        member = (labels == lbl) & mask
+        memberf = member.astype(jnp.float32)
+        cnt = jnp.sum(memberf)
+        cx = jnp.sum(memberf * colf) / cnt
+        cy = jnp.sum(memberf * growf) / cnt
+        # drop clusters whose extent reaches a truncated window's bottom
+        bad = window_truncated & jnp.any(member & (rloc >= _WIN - 1))
+        sx = pl.ds(s, 1)
+        slots[sx, 0:1] = cx.reshape(1, 1)
+        slots[sx, 1:2] = cy.reshape(1, 1)
+        slots[sx, 2:3] = jnp.where(bad, 0.0, 1.0).reshape(1, 1)
+        slots[sx, 3:4] = (lbl.astype(jnp.float32) + 1.0).reshape(1, 1)
+        return s + 1, jnp.where(member, big, rem)
+
+    lax.while_loop(
+        lambda s: (s[0] < _SLOTS) & (jnp.min(s[1]) < big),
+        sbody,
+        (jnp.int32(0), root_label),
+    )
+    out_ref[0, 0] = slots[:, :]
+
+
+def _rochade_kernel(
+    cents_ref, blur_hbm, out_ref, blur_w, fbuf, slots, sem,
+    *, h, w, hp2, move_thr,
+):
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    hp = blur_hbm.shape[1]
+    row0 = _window_start(ti, hp)
+
+    cp = pltpu.make_async_copy(
+        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w, sem
+    )
+    cp.start()
+    cp.wait()
+
+    blur = blur_w[:]
+    wp = blur.shape[1]
+    pinv_np, cone_np = _constants(hp2 // 2)
+    size = hp2 + 1  # 5
+
+    def stencil(src, weights):
+        # acc[r, c] = sum_{dr, dc} weights[dr, dc] * src[r+dr-2, c+dc-2]
+        acc = jnp.zeros_like(src)
+        for dr in range(size):
+            sh_r = (_WIN - dr + 2) % _WIN
+            t = pltpu.roll(src, sh_r, 0) if sh_r else src
+            for dc in range(size):
+                wgt = float(weights[dr, dc])
+                if wgt == 0.0:
+                    continue
+                sh_c = (wp - dc + 2) % wp
+                u = pltpu.roll(t, sh_c, 1) if sh_c else t
+                acc = acc + wgt * u
+        return acc
+
+    smooth = stencil(blur, cone_np)
+    for j in range(5):
+        fbuf[j] = stencil(smooth, pinv_np[j].reshape(size, size))
+
+    slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+
+    def pick(fi, lr, onehot):
+        return jnp.sum(fbuf[fi, pl.ds(lr, 1), :] * onehot)
+
+    def sbody(s, _):
+        cx = cents_ref[0, 0, s, 0]
+        cy = cents_ref[0, 0, s, 1]
+        good = cents_ref[0, 0, s, 2]
+        lbl = cents_ref[0, 0, s, 3]
+
+        # reference rust_round (coords are non-negative here)
+        rx = jnp.floor(cx + 0.5).astype(jnp.int32)
+        ry = jnp.floor(cy + 0.5).astype(jnp.int32)
+        in_b = (
+            (ry - hp2 >= 0) & (ry + hp2 < h) & (rx - hp2 >= 0) & (rx + hp2 < w)
+        )
+        lr = jnp.clip(ry - row0, 0, _WIN - 1)
+        # ROCHADE support must stay inside the valid stencil interior
+        margin_ok = (lr >= 4) & (lr <= _WIN - 5)
+        onehot = (lane_iota == jnp.clip(rx, 0, wp - 1)).astype(jnp.float32)
+
+        # scalar ROCHADE math (reference src/detector.rs:330-356)
+        a1 = pick(0, lr, onehot)
+        a2 = pick(1, lr, onehot)
+        a3 = pick(2, lr, onehot)
+        a4 = pick(3, lr, onehot)
+        a5 = pick(4, lr, onehot)
+        d = (2.0 * a1) * (2.0 * a3) - a2 * a2
+        safe_d = jnp.where(d == 0, 1.0, d)
+        x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
+        y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
+        c5 = (a1 + a3) / 2.0
+        c4 = (a1 - a3) / 2.0
+        c3 = a2 / 2.0
+        kk = jnp.sqrt(c4 * c4 + c3 * c3)
+        safe_kk = jnp.where(kk == 0, 1.0, kk)
+        phi = jnp.degrees(mathx.acos(-c5 / safe_kk) / 2.0)
+        theta = jnp.degrees(mathx.atan2(c3, c4) / 2.0)
+        ok = (
+            (good > 0.5)
+            & (lbl > 0.5)
+            & in_b
+            & margin_ok
+            & (d < 0.0)
+            & (jnp.abs(x0) <= move_thr)
+            & (jnp.abs(y0) <= move_thr)
+            & (jnp.abs(c5) < kk)
+        )
+        sx = pl.ds(s, 1)
+        slots[sx, 0:1] = (rx.astype(jnp.float32) + x0).reshape(1, 1)
+        slots[sx, 1:2] = (ry.astype(jnp.float32) + y0).reshape(1, 1)
+        slots[sx, 2:3] = kk.reshape(1, 1)
+        slots[sx, 3:4] = theta.reshape(1, 1)
+        slots[sx, 4:5] = phi.reshape(1, 1)
+        slots[sx, 5:6] = jnp.where(ok, 1.0, 0.0).reshape(1, 1)
+        slots[sx, 6:7] = lbl.reshape(1, 1)
+        return _
+
+    lax.fori_loop(0, _SLOTS, sbody, 0)
+    out_ref[0, 0] = slots[:, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("h", "w", "hp2", "move_thr", "interpret")
+)
+def cluster_rochade(
+    blur: jnp.ndarray,   # (B, Hp, Wp) f32, padded
+    resp: jnp.ndarray,   # (B, Hp, Wp) f32, padding >= 0
+    thr: jnp.ndarray,    # (B,) f32
+    h: int,              # true image height
+    w: int,              # true image width
+    hp2: int = 4,
+    move_thr: float = 1.0,
+    interpret: bool = False,
+):
+    """Candidate saddles for every response cluster, in cluster order.
+
+    Returns fields (B, T*S, 8) f32: [x, y, k, theta, phi, ok, label+1, _].
+    """
+    b, hp, wp = blur.shape
+    assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
+    assert wp % 128 == 0
+    tiles = -(-h // _BAND)
+
+    cents = pl.pallas_call(
+        functools.partial(_label_kernel, h=h, w=w),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_WIN, wp), jnp.float32),
+            pltpu.VMEM((_SLOTS, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(thr.reshape(b, 1), resp)
+
+    out = pl.pallas_call(
+        functools.partial(_rochade_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((_WIN, wp), jnp.float32),
+            pltpu.VMEM((5, _WIN, wp), jnp.float32),
+            pltpu.VMEM((_SLOTS, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(cents, blur)
+    return out.reshape(b, tiles * _SLOTS, 8)
+
+
+def saddles_from_candidates(fields: jnp.ndarray) -> Saddles:
+    """Per-frame candidate array -> Saddles SoA (pre k/phi gates).
+
+    Slot order is (tile, ascending label) = global ascending label =
+    the reference's scan-order cluster enumeration.
+    """
+    valid = (fields[:, 6] > 0.5) & (fields[:, 5] > 0.5)
+    return Saddles(
+        p=fields[:, 0:2],
+        k=fields[:, 2],
+        theta=fields[:, 3],
+        phi=fields[:, 4],
+        valid=valid,
+    )

@@ -34,7 +34,7 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h):
+def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h, w):
     bi = pl.program_id(0)
     i = pl.program_id(1)
     radius = (len(taps) - 1) // 2
@@ -78,19 +78,28 @@ def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h):
         jnp.int32, (tile_h, w_pad), 0
     )
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
-    border = (grow == 0) | (grow == h - 1) | (gcol == 0)
+    # zero the reference's untouched borders AND all padding so the
+    # clustering threshold/mask never see stencil garbage
+    border = (grow == 0) | (grow >= h - 1) | (gcol == 0) | (gcol >= w - 1)
     center = (slice(_HALO, _HALO + tile_h), slice(128, 128 + w_pad))
     blur_ref[0, :, :] = blur[center]
     resp_ref[0, :, :] = jnp.where(border, 0.0, resp[center])
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
-def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret", "crop"))
+def fused_frontend(
+    luma: jnp.ndarray,
+    sigma: float = 1.5,
+    interpret: bool = False,
+    crop: bool = True,
+):
     """(H, W) or (B, H, W) f32 luma -> (blur, resp) of the same shape.
 
     Matches gaussian_blur + hessian_response from ops/frontend.py. The
     batch dimension is handled natively by the kernel grid (Pallas calls
-    with ANY-space inputs cannot be vmapped).
+    with ANY-space inputs cannot be vmapped). ``crop=False`` returns the
+    lane/row-padded planes (width/height rounded up; response zero in all
+    padding) for direct consumption by the Pallas cluster kernel.
     """
     squeeze = luma.ndim == 2
     if squeeze:
@@ -98,7 +107,7 @@ def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = Fals
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 2 * 3 + 1, "kernel tuned for sigma<=1.5 (radius 3)"
     b, h, w = luma.shape
-    tile_h = 256
+    tile_h = 64
     h_pad = -(-h // tile_h) * tile_h
     w_pad = -(-w // 128) * 128
 
@@ -111,7 +120,9 @@ def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = Fals
 
     grid = (b, h_pad // tile_h)
     blur, resp = pl.pallas_call(
-        functools.partial(_kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h),
+        functools.partial(
+            _kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h, w=w
+        ),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=(
@@ -132,10 +143,10 @@ def fused_frontend(luma: jnp.ndarray, sigma: float = 1.5, interpret: bool = Fals
         ],
         interpret=interpret,
     )(x)
+    if not crop:
+        return blur, resp
     blur = blur[:, :h, :w]
     resp = resp[:, :h, :w]
-    # right border col of the true image (w-1) must be zeroed too
-    resp = resp.at[:, :, w - 1].set(0.0)
     if squeeze:
         blur, resp = blur[0], resp[0]
     return blur, resp

@@ -82,11 +82,45 @@ def saddle_frontend_batch(
     caps: Capacities,
     use_pallas: bool = False,
 ) -> tuple[Saddles, jnp.ndarray]:
-    """Batched front-end. The Pallas stencil kernel handles the batch
-    dimension in its grid (it cannot be vmapped); everything else vmaps."""
+    """Batched front-end. The Pallas kernels handle the batch dimension
+    in their grids (pallas_call cannot be vmapped); everything else vmaps.
+
+    Pallas path: fused stencil kernel (blur + Hessian, padded planes),
+    then the fused clustering + ROCHADE kernel — no whole-image
+    intermediate beyond the two planes ever hits HBM.
+    """
     import jax
 
+    h, w = imgs.shape[1], imgs.shape[2]
     luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
+    if use_pallas and h >= 84:
+        from .pallas.cluster import cluster_rochade, saddles_from_candidates
+        from .pallas.frontend import fused_frontend
+
+        blur_p, resp_p = fused_frontend(luma_f, consts.blur_sigma, crop=False)
+        thr = (
+            jnp.min(resp_p, axis=(1, 2)) * consts.response_threshold_ratio
+        )
+        fields = cluster_rochade(
+            blur_p,
+            resp_p,
+            thr,
+            h,
+            w,
+            2 * consts.rochade_half_patch,
+            consts.rochade_move_threshold,
+        )
+        raw = jax.vmap(saddles_from_candidates)(fields)
+        saddles = jax.vmap(
+            lambda s: filter_and_compact(
+                s,
+                caps.max_saddles,
+                consts.saddle_k_ratio,
+                params.min_saddle_angle,
+                params.max_saddle_angle,
+            )
+        )(raw)
+        return saddles, luma_u8
     if use_pallas:
         from .pallas.frontend import fused_frontend
 
