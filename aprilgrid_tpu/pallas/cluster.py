@@ -44,13 +44,14 @@ _BAND = 32      # rows assigned per tile
 _WIN = 88       # window rows (band + tall-cluster headroom + margins)
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
 _SLOTS = 256    # max clusters extracted per tile
+_SUB = 48       # member-scan row window per cluster (>= max blob height)
 
 
 def _window_start(ti, hp):
     return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
 
 
-def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, slots, sem, *, h, w):
+def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, lab_ref, slots, sem, *, h, w):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     hp = resp_hbm.shape[1]
@@ -96,34 +97,45 @@ def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, slots, sem, *, h, w):
 
     band_lo = ti * _BAND
     root = mask & (labels == own) & (grow >= band_lo) & (grow < band_lo + _BAND)
-    root_label = jnp.where(root, own, big)
+
+    # park labels in a scratch ref so per-cluster member scans can slice
+    # a small row window around each root instead of the whole window
+    lab_ref[:, :] = jnp.where(mask, labels, big)
 
     slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
-    colf = cloc.astype(jnp.float32)
-    growf = grow.astype(jnp.float32)
-    window_truncated = row0 + _WIN < h
 
     def sbody(state):
         s, rem = state
         lbl = jnp.min(rem)
-        member = (labels == lbl) & mask
+        # member scan over a 48-row window starting at the root's row
+        lroot = jnp.clip(lbl // w - row0, 0, _WIN - _SUB)
+        lroot = pl.multiple_of((lroot // 8) * 8, 8)
+        sub = lab_ref[pl.ds(lroot, _SUB), :]
+        member = sub == lbl
         memberf = member.astype(jnp.float32)
         cnt = jnp.sum(memberf)
-        cx = jnp.sum(memberf * colf) / cnt
-        cy = jnp.sum(memberf * growf) / cnt
-        # drop clusters whose extent reaches a truncated window's bottom
-        bad = window_truncated & jnp.any(member & (rloc >= _WIN - 1))
+        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 0)
+        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 1)
+        cx = jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
+        cy = (
+            jnp.sum(memberf * subrow.astype(jnp.float32)) / cnt
+            + (row0 + lroot).astype(jnp.float32)
+        )
+        # drop clusters that may extend beyond the scanned window
+        last_global = row0 + lroot + _SUB - 1
+        bad = jnp.any(member & (subrow >= _SUB - 1)) & (last_global < h - 1)
         sx = pl.ds(s, 1)
         slots[sx, 0:1] = cx.reshape(1, 1)
         slots[sx, 1:2] = cy.reshape(1, 1)
         slots[sx, 2:3] = jnp.where(bad, 0.0, 1.0).reshape(1, 1)
         slots[sx, 3:4] = (lbl.astype(jnp.float32) + 1.0).reshape(1, 1)
-        return s + 1, jnp.where(member, big, rem)
+        return s + 1, jnp.where(rem == lbl, big, rem)
 
+    rem0 = jnp.where(root, own, big)
     lax.while_loop(
         lambda s: (s[0] < _SLOTS) & (jnp.min(s[1]) < big),
         sbody,
-        (jnp.int32(0), root_label),
+        (jnp.int32(0), rem0),
     )
     out_ref[0, 0] = slots[:, :]
 
@@ -173,7 +185,10 @@ def _rochade_kernel(
     def pick(fi, lr, onehot):
         return jnp.sum(fbuf[fi, pl.ds(lr, 1), :] * onehot)
 
-    def sbody(s, _):
+    def scond(s):
+        return (s < _SLOTS) & (cents_ref[0, 0, jnp.minimum(s, _SLOTS - 1), 3] > 0.5)
+
+    def sbody(s):
         cx = cents_ref[0, 0, s, 0]
         cy = cents_ref[0, 0, s, 1]
         good = cents_ref[0, 0, s, 2]
@@ -225,9 +240,9 @@ def _rochade_kernel(
         slots[sx, 4:5] = phi.reshape(1, 1)
         slots[sx, 5:6] = jnp.where(ok, 1.0, 0.0).reshape(1, 1)
         slots[sx, 6:7] = lbl.reshape(1, 1)
-        return _
+        return s + 1
 
-    lax.fori_loop(0, _SLOTS, sbody, 0)
+    lax.while_loop(scond, sbody, jnp.int32(0))
     out_ref[0, 0] = slots[:, :]
 
 
@@ -267,6 +282,7 @@ def cluster_rochade(
         out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((_WIN, wp), jnp.float32),
+            pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((_SLOTS, 8), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
