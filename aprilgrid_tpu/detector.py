@@ -135,6 +135,28 @@ class TagDetector:
         return fn
 
     @functools.cached_property
+    def _frontend_packed_fn(self):
+        """Frontend + saddles packed into one (B, N, 4) array so the
+        hybrid path does a single device->host transfer."""
+        params, consts, caps = self.params, self.consts, self.caps
+        up = self.use_pallas
+
+        @jax.jit
+        def fn(imgs):
+            saddles, luma8 = saddle_frontend_batch(imgs, params, consts, caps, up)
+            packed = jnp.concatenate(
+                [
+                    saddles.p,
+                    saddles.theta[..., None],
+                    saddles.valid.astype(jnp.float32)[..., None],
+                ],
+                axis=-1,
+            )
+            return packed, luma8
+
+        return fn
+
+    @functools.cached_property
     def _decode_batch_fn(self):
         from .ops.decode import decode_quads
 
@@ -190,11 +212,12 @@ class TagDetector:
 
         b = imgs.shape[0]
         cap = (2 * self.caps.grid_radius + 1) ** 2
-        dcap = min(cap, 4 * self.caps.max_tags)
-        saddles, luma8 = self._frontend_batch_fn(imgs)
-        sp = np.asarray(saddles.p)          # (B, N, 2)
-        stheta = np.asarray(saddles.theta)  # (B, N)
-        alive = np.ascontiguousarray(np.asarray(saddles.valid), np.uint8)
+        dcap = min(cap, 2 * self.caps.max_tags)
+        packed, luma8 = self._frontend_packed_fn(imgs)
+        packed = np.asarray(packed)         # one transfer: (B, N, 4)
+        sp = np.ascontiguousarray(packed[..., 0:2])
+        stheta = np.ascontiguousarray(packed[..., 2])
+        alive = np.ascontiguousarray(packed[..., 3] > 0.5).astype(np.uint8)
         results: list[dict] = [{} for _ in range(b)]
         for _ in range(self.params.max_num_of_boards):
             quads, counts = native.find_board_batch(

@@ -34,7 +34,7 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
-def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h, w):
+def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w_pad, h, w):
     bi = pl.program_id(0)
     i = pl.program_id(1)
     radius = (len(taps) - 1) // 2
@@ -83,7 +83,13 @@ def _kernel(luma_hbm, blur_ref, resp_ref, slab, sem, *, taps, tile_h, w_pad, h, 
     border = (grow == 0) | (grow >= h - 1) | (gcol == 0) | (gcol >= w - 1)
     center = (slice(_HALO, _HALO + tile_h), slice(128, 128 + w_pad))
     blur_ref[0, :, :] = blur[center]
-    resp_ref[0, :, :] = jnp.where(border, 0.0, resp[center])
+    resp_center = jnp.where(border, 0.0, resp[center])
+    resp_ref[0, :, :] = resp_center
+    # per-tile response minimum: the clustering threshold is
+    # ratio * global_min (src/detector.rs:414-418); reducing per tile here
+    # saves a whole-image pass (vector-tile output: SMEM outputs need
+    # (8,128)-aligned blocks)
+    min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma", "interpret", "crop"))
@@ -119,7 +125,7 @@ def fused_frontend(
     x = jnp.pad(x, ((0, 0), (0, 0), (128, 128)), mode="edge")
 
     grid = (b, h_pad // tile_h)
-    blur, resp = pl.pallas_call(
+    blur, resp, tile_min = pl.pallas_call(
         functools.partial(
             _kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h, w=w
         ),
@@ -132,10 +138,15 @@ def fused_frontend(
             pl.BlockSpec(
                 (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
             jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad // tile_h, 8, 128), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _HALO, w_pad + 256), jnp.float32),
@@ -144,7 +155,7 @@ def fused_frontend(
         interpret=interpret,
     )(x)
     if not crop:
-        return blur, resp
+        return blur, resp, tile_min
     blur = blur[:, :h, :w]
     resp = resp[:, :h, :w]
     if squeeze:

@@ -97,10 +97,10 @@ def saddle_frontend_batch(
         from .pallas.cluster import cluster_rochade, saddles_from_candidates
         from .pallas.frontend import fused_frontend
 
-        blur_p, resp_p = fused_frontend(luma_f, consts.blur_sigma, crop=False)
-        thr = (
-            jnp.min(resp_p, axis=(1, 2)) * consts.response_threshold_ratio
+        blur_p, resp_p, tile_min = fused_frontend(
+            luma_f, consts.blur_sigma, crop=False
         )
+        thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
         fields = cluster_rochade(
             blur_p,
             resp_p,
