@@ -162,8 +162,8 @@ class TagDetector:
 
         spec, consts = self.spec, self.consts
 
-        @jax.jit
-        def fn(luma8, quad_pos, quad_valid):
+        @functools.partial(jax.jit, static_argnames=("hw",))
+        def fn(luma8, quad_pos, quad_valid, hw=None):
             return jax.vmap(
                 lambda l8, qp, qv: decode_quads(
                     l8,
@@ -174,6 +174,7 @@ class TagDetector:
                     consts.valid_brightness_threshold,
                     consts.max_invalid_bit,
                     consts.min_contrast,
+                    true_shape=hw,
                 )
             )(luma8, quad_pos, quad_valid)
 
@@ -237,7 +238,10 @@ class TagDetector:
                 sp, np.maximum(quads, 0).reshape(b, -1, 1), axis=1
             ).reshape(b, dcap, 4, 2)
             dec = self._decode_batch_fn(
-                luma8, jnp.asarray(quad_pos), jnp.asarray(quad_valid)
+                luma8,
+                jnp.asarray(quad_pos),
+                jnp.asarray(quad_valid),
+                hw=(int(imgs.shape[1]), int(imgs.shape[2])),
             )
             dec = jax.tree.map(np.asarray, dec)
             for i in range(b):

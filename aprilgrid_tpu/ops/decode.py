@@ -86,9 +86,12 @@ def decode_quads(
     valid_brightness_threshold: int,
     max_invalid_bit: int,
     min_contrast: int,
+    true_shape: tuple[int, int] | None = None,
 ) -> DecodedTags:
-    """try_decode_quad for every candidate quad (src/detector.rs:448-476)."""
-    h, w = luma8.shape
+    """try_decode_quad for every candidate quad (src/detector.rs:448-476).
+
+    ``true_shape`` gives the real (h, w) when ``luma8`` is padded."""
+    h, w = true_shape if true_shape is not None else luma8.shape
     nb = spec.edge * spec.edge
 
     # --- decode_positions: corner bound gate + affine bit centers

@@ -34,6 +34,127 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % x.shape[axis], axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _deinterleave_chunk(chunk_w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(3*chunk_w, chunk_w) periodic deinterleave+luma matrices — the
+    same constant serves every column chunk (MXU matmul; integer sums
+    < 2^24 so both luma paths are exact in f32)."""
+    mf = np.zeros((3 * chunk_w, chunk_w), np.float32)
+    mi = np.zeros((3 * chunk_w, chunk_w), np.float32)
+    coef_f = (0.2126 / 255.0, 0.7152 / 255.0, 0.0722 / 255.0)
+    coef_i = (2126.0, 7152.0, 722.0)
+    for j in range(chunk_w):
+        for c in range(3):
+            mf[3 * j + c, j] = coef_f[c]
+            mi[3 * j + c, j] = coef_i[c]
+    return mf, mi
+
+
+def _gray_kernel(mats_ref, raw_hbm, lumaf_ref, luma8_ref, slab, sem, *, tile_h, w, w_pad, channels, u16):
+    """Raw image tile -> (luma_f32, luma_u8) — image-crate semantics
+    (reference to_luma32f/to_luma8 usage, src/detector.rs:409,507).
+
+    RGB rows arrive channel-interleaved; deinterleaving + both luma
+    weightings happen as chunked matmuls against a periodic constant.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    cp = pltpu.make_async_copy(
+        raw_hbm.at[bi, pl.ds(i * tile_h, tile_h), :], slab, sem
+    )
+    cp.start()
+    cp.wait()
+    # Mosaic lacks a direct u8->f32 cast; hop through int32
+    x = slab[:].astype(jnp.int32).astype(jnp.float32)
+    if channels == 3:
+        lf_chunks = []
+        l8_chunks = []
+        col = 0
+        while col < w:
+            cw = min(128, w - col)
+            # leading submatrices of the periodic constant serve any
+            # chunk width
+            mf = mats_ref[0 : 3 * cw, 0:cw]
+            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+            xs = x[:, 3 * col : 3 * (col + cw)]
+            lf_chunks.append(
+                jnp.dot(xs, mf, preferred_element_type=jnp.float32)
+            )
+            l8_chunks.append(
+                jnp.dot(xs, mi, preferred_element_type=jnp.float32)
+            )
+            col += cw
+        lf = jnp.concatenate(lf_chunks, axis=1)
+        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+    elif u16:
+        lf = x / 65535.0
+        l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
+    else:
+        lf = x / 255.0
+        l8 = x
+    pad = w_pad - w
+    if pad:
+        # edge-replicate luma_f so downstream clamped blur taps match;
+        # luma8 padding is never sampled (decode gates on the true size)
+        lf = jnp.concatenate([lf, jnp.repeat(lf[:, -1:], pad, 1)], axis=1)
+        l8 = jnp.concatenate([l8, jnp.zeros((l8.shape[0], pad), l8.dtype)], axis=1)
+    lumaf_ref[0] = lf
+    luma8_ref[0] = l8.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gray_kernel(img: jnp.ndarray, interpret: bool = False):
+    """(B, H, W[, 3]) u8/u16 raw frames -> (luma_f (B, Hp, Wp) f32,
+    luma_u8 (B, Hp, Wp) u8), edge-padded to 64-row/128-lane multiples."""
+    b, h, w = img.shape[:3]
+    channels = img.shape[3] if img.ndim == 4 else 1
+    u16 = img.dtype == jnp.uint16
+    tile_h = 64
+    h_pad = -(-h // tile_h) * tile_h
+    w_pad = -(-w // 128) * 128
+    if h_pad != h:
+        pad_spec = ((0, 0), (0, h_pad - h)) + ((0, 0),) * (img.ndim - 2)
+        img = jnp.pad(img, pad_spec, mode="edge")
+    if img.ndim == 4:
+        img = img.reshape(b, h_pad, w * channels)  # free: row-major layout
+
+    mf, mi = _deinterleave_chunk(128)
+    mats = jnp.asarray(np.concatenate([mf, mi], axis=1))  # (384, 256)
+
+    grid = (b, h_pad // tile_h)
+    lumaf, luma8 = pl.pallas_call(
+        functools.partial(
+            _gray_kernel, tile_h=tile_h, w=w, w_pad=w_pad,
+            channels=channels, u16=u16,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile_h, w * channels), img.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(mats, img)
+    return lumaf, luma8
+
+
 def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w_pad, h, w):
     bi = pl.program_id(0)
     i = pl.program_id(1)
@@ -92,12 +213,15 @@ def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w
     min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "interpret", "crop"))
+@functools.partial(
+    jax.jit, static_argnames=("sigma", "interpret", "crop", "true_shape")
+)
 def fused_frontend(
     luma: jnp.ndarray,
     sigma: float = 1.5,
     interpret: bool = False,
     crop: bool = True,
+    true_shape: tuple[int, int] | None = None,
 ):
     """(H, W) or (B, H, W) f32 luma -> (blur, resp) of the same shape.
 
@@ -112,17 +236,26 @@ def fused_frontend(
         luma = luma[None]
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 2 * 3 + 1, "kernel tuned for sigma<=1.5 (radius 3)"
-    b, h, w = luma.shape
+    b = luma.shape[0]
+    # when fed pre-padded planes (gray_kernel output), borders/gates use
+    # the true image size
+    h, w = true_shape if true_shape is not None else luma.shape[1:]
     tile_h = 64
     h_pad = -(-h // tile_h) * tile_h
     w_pad = -(-w // 128) * 128
 
-    # pad: 4 edge rows (clamped border), lane pad to 128-multiples with a
-    # full 128-lane left guard so rolls never wrap valid data into view
+    # pad once: 4 edge rows (clamped border) + row alignment, and full
+    # 128-lane guards so rolls never wrap valid data into view
+    hin, win = luma.shape[1:]
     x = jnp.pad(
-        luma, ((0, 0), (_HALO, _HALO + h_pad - h), (0, w_pad - w)), mode="edge"
+        luma,
+        (
+            (0, 0),
+            (_HALO, _HALO + h_pad - hin),
+            (128, 128 + w_pad - win),
+        ),
+        mode="edge",
     )
-    x = jnp.pad(x, ((0, 0), (0, 0), (128, 128)), mode="edge")
 
     grid = (b, h_pad // tile_h)
     blur, resp, tile_min = pl.pallas_call(

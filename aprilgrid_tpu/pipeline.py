@@ -92,13 +92,16 @@ def saddle_frontend_batch(
     import jax
 
     h, w = imgs.shape[1], imgs.shape[2]
-    luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
     if use_pallas and h >= 84:
         from .pallas.cluster import cluster_rochade, saddles_from_candidates
-        from .pallas.frontend import fused_frontend
+        from .pallas.frontend import fused_frontend, gray_kernel
 
+        # fully fused Pallas path: raw frames -> padded luma planes ->
+        # blur/response/tile-min -> clusters+ROCHADE; luma8 stays padded
+        # (decode gates on the true size)
+        luma_f, luma_u8 = gray_kernel(imgs)
         blur_p, resp_p, tile_min = fused_frontend(
-            luma_f, consts.blur_sigma, crop=False
+            luma_f, consts.blur_sigma, crop=False, true_shape=(h, w)
         )
         thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
         fields = cluster_rochade(
@@ -121,6 +124,7 @@ def saddle_frontend_batch(
             )
         )(raw)
         return saddles, luma_u8
+    luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
     if use_pallas:
         from .pallas.frontend import fused_frontend
 
@@ -149,6 +153,7 @@ def detect_tail(
     params: DetectorParams,
     consts: PipelineConstants,
     caps: Capacities,
+    true_shape: tuple[int, int] | None = None,
 ) -> DetectResult:
     """``max_num_of_boards`` rounds of board search + decode, removing
     the saddles of successfully decoded tags between rounds
@@ -185,6 +190,7 @@ def detect_tail(
             consts.valid_brightness_threshold,
             consts.max_invalid_bit,
             consts.min_contrast,
+            true_shape=true_shape,
         )
         all_ids.append(decoded.ids)
         all_corners.append(decoded.corners)
@@ -225,7 +231,8 @@ def detect_pipeline_batch(
     """Batched full detect() (BASELINE.json config 2: vmap over frames)."""
     import jax
 
+    hw = (imgs.shape[1], imgs.shape[2])
     saddles, luma8 = saddle_frontend_batch(imgs, params, consts, caps, use_pallas)
     return jax.vmap(
-        lambda s, l8: detect_tail(s, l8, spec, params, consts, caps)
+        lambda s, l8: detect_tail(s, l8, spec, params, consts, caps, hw)
     )(saddles, luma8)
