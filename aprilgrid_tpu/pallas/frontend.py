@@ -112,11 +112,15 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
     tile_h = 64
     h_pad = -(-h // tile_h) * tile_h
     w_pad = -(-w // 128) * 128
-    if h_pad != h:
-        pad_spec = ((0, 0), (0, h_pad - h)) + ((0, 0),) * (img.ndim - 2)
+    if h_pad != h or w_pad != w:
+        # pad the cheap raw plane (u8/u16) so every DMA is 128-aligned;
+        # edge mode keeps the clamped-border blur semantics downstream
+        pad_spec = ((0, 0), (0, h_pad - h), (0, w_pad - w)) + ((0, 0),) * (
+            img.ndim - 3
+        )
         img = jnp.pad(img, pad_spec, mode="edge")
     if img.ndim == 4:
-        img = img.reshape(b, h_pad, w * channels)  # free: row-major layout
+        img = img.reshape(b, h_pad, w_pad * channels)  # free: row-major
 
     mf, mi = _deinterleave_chunk(128)
     mats = jnp.asarray(np.concatenate([mf, mi], axis=1))  # (384, 256)
@@ -124,7 +128,7 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
     grid = (b, h_pad // tile_h)
     lumaf, luma8 = pl.pallas_call(
         functools.partial(
-            _gray_kernel, tile_h=tile_h, w=w, w_pad=w_pad,
+            _gray_kernel, tile_h=tile_h, w=w_pad, w_pad=w_pad,
             channels=channels, u16=u16,
         ),
         grid=grid,
@@ -147,7 +151,7 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
             jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
         ),
         scratch_shapes=[
-            pltpu.VMEM((tile_h, w * channels), img.dtype),
+            pltpu.VMEM((tile_h, w_pad * channels), img.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
