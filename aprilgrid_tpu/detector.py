@@ -10,8 +10,6 @@ unpads the fixed-capacity result into the reference's {id: corners} dict.
 from __future__ import annotations
 
 import functools
-from typing import Iterable, Mapping, Sequence
-
 import numpy as np
 
 import jax

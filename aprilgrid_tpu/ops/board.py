@@ -29,7 +29,6 @@ import functools
 from typing import NamedTuple
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

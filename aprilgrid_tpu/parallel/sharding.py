@@ -21,8 +21,6 @@ equivalent to port; on TPU the XLA collective layer *is* the backend.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import jax

@@ -9,8 +9,6 @@ The reference has no analogue (single-threaded, one image at a time).
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 
 import jax

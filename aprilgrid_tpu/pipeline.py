@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from .config import Capacities, DetectorParams, PipelineConstants
 from .families import FamilySpec
 from .ops.cluster import cluster_centroids
-from .ops.decode import DecodedTags, decode_quads
+from .ops.decode import decode_quads
 from .ops.frontend import gaussian_blur, hessian_response
 from .ops.gray import to_luma
 from .ops.rochade import Saddles, filter_and_compact, rochade_refine

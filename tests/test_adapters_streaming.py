@@ -8,7 +8,6 @@ from aprilgrid_tpu.detector import TagDetector
 from aprilgrid_tpu.oracle.numpy_ref import load_image
 from aprilgrid_tpu.parallel.sharding import make_mesh
 from aprilgrid_tpu.parallel.streaming import MultiCameraDetector
-from conftest import GOLDEN_COUNTS
 
 
 @pytest.fixture(scope="module")

@@ -5,7 +5,6 @@ This doubles as end-to-end coverage for the non-T36H11 families, for
 which the bundled photo set has no images (BASELINE.json config 4).
 """
 
-import numpy as np
 import pytest
 
 from aprilgrid_tpu.boards.generator import AprilGridBoard, generate_chart, render_png

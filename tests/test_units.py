@@ -1,0 +1,165 @@
+"""Unit tests mirroring the reference's embedded #[cfg(test)] modules
+(src/math_util.rs:35-90, src/saddle.rs:75-173, src/image_util.rs:238-317,
+src/tag_families.rs:660-684), run against both the oracle and the
+vectorized JAX ops.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aprilgrid_tpu.oracle import numpy_ref as R
+from aprilgrid_tpu.ops import geometry as G
+
+
+# --- math_util (reference src/math_util.rs:35-90) -------------------------
+
+def test_find_xy():
+    x, y = R.find_xy(1.0, 1.0, -2.0, 1.0, -1.0, 0.0)
+    assert abs(x - 1.0) < 1e-6 and abs(y - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize(
+    "t0,t1,expected",
+    [(0, 0, 0), (0, 90, 90), (0, 45, 45), (0, 180, 0), (10, 20, 10)],
+)
+def test_theta_distance(t0, t1, expected):
+    assert abs(R.theta_distance_degree(t0, t1) - expected) < 1e-6
+    got = float(G.theta_distance_degree(jnp.float32(t0), jnp.float32(t1)))
+    assert abs(got - expected) < 1e-4
+
+
+def test_cross_dot_angle():
+    assert abs(R.cross((1, 0), (0, 1)) - 1.0) < 1e-6
+    assert abs(R.dot((1, 0), (0, 1))) < 1e-6
+    assert abs(R.angle_degree((1, 0), (0, 1)) - 90.0) < 1e-6
+    assert abs(R.angle_degree((1, 0), (1, 1)) - 45.0) < 1e-6
+    v0 = jnp.array([1.0, 0.0])
+    v1 = jnp.array([1.0, 1.0])
+    assert abs(float(G.angle_degree(v0, v1)) - 45.0) < 1e-4
+
+
+# --- saddle (reference src/saddle.rs:96-173) -------------------------------
+
+def _saddle(p, theta=0.0):
+    return R.Saddle(p=p, k=0.0, theta=theta, phi=0.0)
+
+
+def test_is_valid_quad_worked_example():
+    d0 = _saddle((10.0, 0.0))
+    s1 = _saddle((10.0, 10.0))
+    d1 = _saddle((0.0, 10.0))
+    # s0 ridge parallel to the diagonal -> white-block filter rejects
+    assert not R.is_valid_quad(_saddle((0.0, 0.0), 45.0), d0, s1, d1)
+    # perpendicular ridge -> valid
+    assert R.is_valid_quad(_saddle((0.0, 0.0), 135.0), d0, s1, d1)
+
+
+def test_is_valid_quad_vectorized_matches_oracle():
+    rng = np.random.default_rng(0)
+    n = 500
+    base = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    quads = np.stack(
+        [
+            base,
+            base + rng.normal(10, 3, (n, 2)),
+            base + rng.normal([10, 10], 3, (n, 2)),
+            base + rng.normal([0, 10], 3, (n, 2)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    thetas = rng.uniform(-90, 90, (n, 4)).astype(np.float32)
+    got = np.asarray(
+        G.is_valid_quad(
+            jnp.asarray(quads[:, 0]), jnp.asarray(thetas[:, 0]),
+            jnp.asarray(quads[:, 1]), jnp.asarray(thetas[:, 1]),
+            jnp.asarray(quads[:, 2]),
+            jnp.asarray(quads[:, 3]), jnp.asarray(thetas[:, 3]),
+        )
+    )
+    for i in range(n):
+        ref = R.is_valid_quad(
+            R.Saddle(tuple(quads[i, 0]), 0, thetas[i, 0], 0),
+            R.Saddle(tuple(quads[i, 1]), 0, thetas[i, 1], 0),
+            R.Saddle(tuple(quads[i, 2]), 0, thetas[i, 2], 0),
+            R.Saddle(tuple(quads[i, 3]), 0, thetas[i, 3], 0),
+        )
+        assert got[i] == ref, i
+
+
+# --- image_util (reference src/image_util.rs:238-317) ----------------------
+
+def test_tag_affine_shape_and_last_row():
+    h = R.tag_affine([(0, 0), (0, 10), (10, 10), (10, 0)], 10, 0.0)
+    assert h.shape == (3, 3)
+    np.testing.assert_allclose(h[2], [0, 0, 1], atol=1e-9)
+
+
+def test_hessian_impulse_positive():
+    img = np.zeros((5, 5), np.float32)
+    img[2, 2] = 10.0
+    resp = R.hessian_response(img)
+    assert resp[2, 2] > 0.0
+    # JAX op agrees
+    from aprilgrid_tpu.ops.frontend import hessian_response as hr
+
+    got = np.asarray(hr(jnp.asarray(img)))
+    np.testing.assert_allclose(got, resp, atol=1e-6)
+
+
+def test_cluster_of_two():
+    resp = np.full((5, 5), 100.0, np.float32)
+    resp[2, 2] = 10.0
+    resp[3, 2] = 10.0
+    centers = R.saddle_cluster_centers(resp, 50.0)
+    assert len(centers) == 1
+    assert centers[0] == (2.0, 2.5)
+
+
+def test_blur_matches_oracle_on_noise():
+    from aprilgrid_tpu.ops.frontend import gaussian_blur
+
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (40, 56)).astype(np.float32)
+    ref = R.gaussian_blur_f32(img, 1.5)
+    got = np.asarray(gaussian_blur(jnp.asarray(img), 1.5))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+# --- decode helpers (reference src/detector.rs:74-169) ----------------------
+
+def test_bit_code_contrast_and_threshold():
+    img = np.zeros((4, 8), np.uint8)
+    img[0, :4] = 200  # 4 bright samples
+    pts = [(float(x), 0.0) for x in range(8)]
+    bits = R.bit_code(img, pts, 10, 3)
+    # MSB-first: first sample -> highest bit
+    assert bits == 0b11110000
+    # low contrast -> None
+    flat = np.full((4, 8), 100, np.uint8)
+    assert R.bit_code(flat, pts, 10, 3) is None
+
+
+def test_best_tag_rotation():
+    from aprilgrid_tpu.families import get_family
+
+    spec = get_family("t16h5")
+    code = int(spec.codes[7])
+    assert R.best_tag(code, 1, spec.codes, 4) == (7, 0)
+    r1 = R.rotate_bits(code, 4)
+    # after one pre-rotation the search should find it at rotation 3
+    # (it applies rotate_bits until match); rotating the rotated code
+    # back three more times returns to the original
+    found = R.best_tag(r1, 1, spec.codes, 4)
+    assert found is not None and found[0] == 7 and found[1] in (1, 2, 3)
+
+
+def test_family_from_str_roundtrip():
+    from aprilgrid_tpu.families import TagFamily
+
+    for name in ["t16h5", "t25h7", "t25h9", "t36h11", "t36h11b1"]:
+        assert TagFamily.from_str(name).value == name
+        assert TagFamily.from_str(name.upper()).value == name
+    with pytest.raises(ValueError):
+        TagFamily.from_str("t99h9")
