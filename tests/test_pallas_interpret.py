@@ -1,0 +1,89 @@
+"""Interpret-mode regression tests for the Mosaic kernels.
+
+CI has no TPU; the Pallas interpreter executes the same kernel code on
+CPU, guarding the kernel algorithms (the Mosaic lowering itself is
+exercised by bench.py on hardware).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from aprilgrid_tpu.oracle import numpy_ref as R
+
+
+@pytest.fixture(scope="module")
+def euroc(data_dir):
+    return R.load_image(str(data_dir / "EuRoC.png"))
+
+
+def test_gray_kernel_matches_image_crate(euroc, data_dir):
+    from aprilgrid_tpu.pallas.frontend import gray_kernel
+
+    for name in ("EuRoC", "TUM_VI", "two_boards"):
+        img = R.load_image(str(data_dir / f"{name}.png"))
+        h, w = img.shape[:2]
+        lf, l8 = gray_kernel(jnp.asarray(img)[None], interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(lf)[0, :h, :w], R.to_luma32f(img), atol=2e-7
+        )
+        np.testing.assert_array_equal(
+            np.asarray(l8)[0, :h, :w], R.to_luma8(img)
+        )
+
+
+def test_fused_frontend_matches_xla(euroc):
+    from aprilgrid_tpu.ops.frontend import gaussian_blur, hessian_response
+    from aprilgrid_tpu.pallas.frontend import fused_frontend
+
+    luma = jnp.asarray(R.to_luma32f(euroc))
+    blur, resp = fused_frontend(luma, 1.5, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(blur), np.asarray(gaussian_blur(luma, 1.5)), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(resp),
+        np.asarray(hessian_response(gaussian_blur(luma, 1.5))),
+        atol=1e-7,
+    )
+
+
+def test_cluster_rochade_matches_oracle_saddles(euroc):
+    from aprilgrid_tpu.ops.rochade import filter_and_compact
+    from aprilgrid_tpu.pallas.cluster import (
+        cluster_rochade,
+        saddles_from_candidates,
+    )
+    from aprilgrid_tpu.pallas.frontend import fused_frontend
+
+    h, w = euroc.shape
+    luma = jnp.asarray(R.to_luma32f(euroc))[None]
+    blur_p, resp_p, tile_min = fused_frontend(
+        luma, 1.5, interpret=True, crop=False
+    )
+    thr = jnp.min(tile_min, axis=(1, 2, 3)) * 0.05
+    fields = cluster_rochade(blur_p, resp_p, thr, h, w, 4, 1.0, interpret=True)
+    raw = jax.vmap(saddles_from_candidates)(fields)
+    s = jax.vmap(lambda x: filter_and_compact(x, 768, 0.1, 30.0, 60.0))(raw)
+    got = np.asarray(s.p[0])[np.asarray(s.valid[0])]
+
+    ref = R.refined_saddle_points(euroc)
+    assert len(got) == len(ref)
+    ref_p = np.array(sorted(tuple(x.p) for x in ref))
+    got_p = np.array(sorted(map(tuple, got)))
+    np.testing.assert_allclose(got_p, ref_p, atol=1e-3)
+
+
+def test_mathx_accuracy():
+    from aprilgrid_tpu.pallas import mathx
+
+    rng = np.random.default_rng(0)
+    y = rng.uniform(-10, 10, 10000).astype(np.float32)
+    x = rng.uniform(-10, 10, 10000).astype(np.float32)
+    got = np.asarray(mathx.atan2(jnp.asarray(y), jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.arctan2(y, x), atol=5e-7)
+    z = rng.uniform(-1, 1, 10000).astype(np.float32)
+    got = np.asarray(mathx.acos(jnp.asarray(z)))
+    np.testing.assert_allclose(got, np.arccos(z), atol=2e-6)
