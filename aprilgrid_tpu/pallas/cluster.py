@@ -1,28 +1,30 @@
-"""Fused Pallas kernels: connected-component clustering + ROCHADE.
+"""Fused Pallas kernel: clustering + ROCHADE, straight from the blur plane.
 
 Replaces the XLA label-propagation path (ops/cluster.py + ops/rochade.py)
-whose ~150 whole-image ops dominate device time. The response plane is
-swept in overlapping 88-row windows with 32-row assignment bands; saddle
-response blobs are tiny (<=~30 px, see SURVEY.md), so each cluster is
+whose ~150 whole-image ops dominate device time, and avoids ever
+materializing the Hessian-response plane: the blur plane is swept in
+overlapping 88-row windows with 32-row assignment bands and the response
+is recomputed in-window (the 3x3 stencil is free next to the DMA). A
+saddle response blob is tiny (<=~30 px, SURVEY.md), so each cluster is
 wholly contained in the window whose band holds its top-most (minimum
-linear index) pixel. Two kernels, each VMEM-resident per window:
+linear index) pixel. Per window, entirely in VMEM:
 
-1. ``_label_kernel``: threshold mask, min-index label relaxation to a
-   fixpoint, root extraction in ascending label order (the reference's
-   scan-order cluster enumeration) with centroids from masked
-   reductions;
-2. ``_rochade_kernel``: the ROCHADE quadric fit (reference
-   src/detector.rs:194-361) evaluated DENSELY over the window — cone
-   smoothing and the 5 fit coefficients are 25-tap stencils (~150
-   shifted multiply-adds per window) — then sampled at each centroid
-   with the scalar subpixel solve and acceptance gates.
+1. Hessian response (bit-identical to the frontend kernel's) and the
+   threshold mask;
+2. min-index label relaxation to a fixpoint; roots extracted in
+   ascending label order (the reference's scan-order cluster
+   enumeration), centroids from sub-window masked reductions;
+3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
+   densely - cone smoothing and the 5 fit coefficients are 25-tap
+   stencils - and sampled at each centroid with the scalar subpixel
+   solve and acceptance gates.
 
-Each kernel reads ~1.3x one image plane from HBM; no whole-image
-intermediate is ever materialized. Clusters spanning more than ~40 rows
-are dropped (far beyond any observed blob; the XLA path has no cap).
+One blur-window read per tile (~1.3x one image plane of HBM traffic
+total). Clusters spanning more than ~40 rows are dropped (far beyond any
+observed blob; the XLA path has no cap).
 
-Inputs must be padded (width a multiple of 128, height a multiple of 8
-and >= 88) with response >= 0 in all padding —
+Input must be padded (width a multiple of 128, height a multiple of 8
+and >= 88) with edge-replicated padding -
 `pallas.frontend.fused_frontend(crop=False)` produces exactly this.
 """
 
@@ -50,37 +52,63 @@ def _window_start(ti, hp):
     return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
 
 
-def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, lab_ref, slots, sem, *, h, w):
+def _kernel(
+    thr_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots, sem,
+    *, h, w, hp2, move_thr,
+):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
-    hp = resp_hbm.shape[1]
+    hp = blur_hbm.shape[1]
     row0 = _window_start(ti, hp)
 
     cp = pltpu.make_async_copy(
-        resp_hbm.at[bi, pl.ds(row0, _WIN), :], resp_w, sem
+        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w, sem
     )
     cp.start()
     cp.wait()
 
     thr = thr_ref[bi, 0]
-    resp = resp_w[:]
-    wp = resp.shape[1]
+    blur = blur_w[:]
+    wp = blur.shape[1]
 
     rloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 0)
     cloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 1)
     grow = row0 + rloc
-    mask = resp < thr  # padding has resp >= 0 > thr, never masked
 
+    # --- Hessian response in-window (identical math to the frontend
+    # kernel, src/image_util.rs:72-109); window edge rows/cols and the
+    # reference's zero borders are masked out below
+    left = pltpu.roll(blur, 1, 1)
+    right = pltpu.roll(blur, wp - 1, 1)
+    up = pltpu.roll(blur, 1, 0)
+    down = pltpu.roll(blur, _WIN - 1, 0)
+    ul = pltpu.roll(up, 1, 1)
+    ur = pltpu.roll(up, wp - 1, 1)
+    dl = pltpu.roll(down, 1, 1)
+    dr = pltpu.roll(down, wp - 1, 1)
+    lxx = left - 2.0 * blur + right
+    lyy = up - 2.0 * blur + down
+    lxy = (ur - ul + dl - dr) * 0.25
+    resp = lxx * lyy - lxy * lxy
+
+    valid_px = (
+        (rloc > 0) & (rloc < _WIN - 1)           # window interior rows
+        & (grow > 0) & (grow < h - 1)            # reference zero borders
+        & (cloc > 0) & (cloc < w - 1)
+    )
+    mask = valid_px & (resp < thr)
+
+    # --- min-index connected-component labels, fixpoint relaxation
     big = jnp.int32(2**30)
     own = grow * w + cloc
     init = jnp.where(mask, own, big)
 
     def relax(lab):
-        up = jnp.where(rloc == 0, big, pltpu.roll(lab, _WIN - 1, 0))
-        down = jnp.where(rloc == _WIN - 1, big, pltpu.roll(lab, 1, 0))
-        left = jnp.where(cloc == 0, big, pltpu.roll(lab, wp - 1, 1))
-        right = jnp.where(cloc == wp - 1, big, pltpu.roll(lab, 1, 1))
-        m = jnp.minimum(jnp.minimum(up, down), jnp.minimum(left, right))
+        upl = jnp.where(rloc == 0, big, pltpu.roll(lab, _WIN - 1, 0))
+        downl = jnp.where(rloc == _WIN - 1, big, pltpu.roll(lab, 1, 0))
+        leftl = jnp.where(cloc == 0, big, pltpu.roll(lab, wp - 1, 1))
+        rightl = jnp.where(cloc == wp - 1, big, pltpu.roll(lab, 1, 1))
+        m = jnp.minimum(jnp.minimum(upl, downl), jnp.minimum(leftl, rightl))
         return jnp.where(mask, jnp.minimum(lab, m), big)
 
     def lbody(state):
@@ -98,64 +126,10 @@ def _label_kernel(thr_ref, resp_hbm, out_ref, resp_w, lab_ref, slots, sem, *, h,
     root = mask & (labels == own) & (grow >= band_lo) & (grow < band_lo + _BAND)
 
     # park labels in a scratch ref so per-cluster member scans can slice
-    # a small row window around each root instead of the whole window
+    # a small row window around each root
     lab_ref[:, :] = jnp.where(mask, labels, big)
 
-    slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
-
-    def sbody(state):
-        s, rem = state
-        lbl = jnp.min(rem)
-        # member scan over a 48-row window starting at the root's row
-        lroot = jnp.clip(lbl // w - row0, 0, _WIN - _SUB)
-        lroot = pl.multiple_of((lroot // 8) * 8, 8)
-        sub = lab_ref[pl.ds(lroot, _SUB), :]
-        member = sub == lbl
-        memberf = member.astype(jnp.float32)
-        cnt = jnp.sum(memberf)
-        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 0)
-        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 1)
-        cx = jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
-        cy = (
-            jnp.sum(memberf * subrow.astype(jnp.float32)) / cnt
-            + (row0 + lroot).astype(jnp.float32)
-        )
-        # drop clusters that may extend beyond the scanned window
-        last_global = row0 + lroot + _SUB - 1
-        bad = jnp.any(member & (subrow >= _SUB - 1)) & (last_global < h - 1)
-        sx = pl.ds(s, 1)
-        slots[sx, 0:1] = cx.reshape(1, 1)
-        slots[sx, 1:2] = cy.reshape(1, 1)
-        slots[sx, 2:3] = jnp.where(bad, 0.0, 1.0).reshape(1, 1)
-        slots[sx, 3:4] = (lbl.astype(jnp.float32) + 1.0).reshape(1, 1)
-        return s + 1, jnp.where(rem == lbl, big, rem)
-
-    rem0 = jnp.where(root, own, big)
-    lax.while_loop(
-        lambda s: (s[0] < _SLOTS) & (jnp.min(s[1]) < big),
-        sbody,
-        (jnp.int32(0), rem0),
-    )
-    out_ref[0, 0] = slots[:, :]
-
-
-def _rochade_kernel(
-    cents_ref, blur_hbm, out_ref, blur_w, fbuf, slots, sem,
-    *, h, w, hp2, move_thr,
-):
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    hp = blur_hbm.shape[1]
-    row0 = _window_start(ti, hp)
-
-    cp = pltpu.make_async_copy(
-        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w, sem
-    )
-    cp.start()
-    cp.wait()
-
-    blur = blur_w[:]
-    wp = blur.shape[1]
+    # --- dense ROCHADE fit coefficients (reference src/detector.rs:208-328)
     pinv_np, cone_np = _constants(hp2 // 2)
     size = hp2 + 1  # 5
 
@@ -184,14 +158,26 @@ def _rochade_kernel(
     def pick(fi, lr, onehot):
         return jnp.sum(fbuf[fi, pl.ds(lr, 1), :] * onehot)
 
-    def scond(s):
-        return (s < _SLOTS) & (cents_ref[0, 0, jnp.minimum(s, _SLOTS - 1), 3] > 0.5)
-
-    def sbody(s):
-        cx = cents_ref[0, 0, s, 0]
-        cy = cents_ref[0, 0, s, 1]
-        good = cents_ref[0, 0, s, 2]
-        lbl = cents_ref[0, 0, s, 3]
+    def sbody(state):
+        s, rem = state
+        lbl = jnp.min(rem)
+        # member scan over a 48-row window starting at the root's row
+        lroot = jnp.clip(lbl // w - row0, 0, _WIN - _SUB)
+        lroot = pl.multiple_of((lroot // 8) * 8, 8)
+        sub = lab_ref[pl.ds(lroot, _SUB), :]
+        member = sub == lbl
+        memberf = member.astype(jnp.float32)
+        cnt = jnp.sum(memberf)
+        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 0)
+        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 1)
+        cx = jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
+        cy = (
+            jnp.sum(memberf * subrow.astype(jnp.float32)) / cnt
+            + (row0 + lroot).astype(jnp.float32)
+        )
+        # drop clusters that may extend beyond the scanned window
+        last_global = row0 + lroot + _SUB - 1
+        bad = jnp.any(member & (subrow >= _SUB - 2)) & (last_global < h - 1)
 
         # reference rust_round (coords are non-negative here)
         rx = jnp.floor(cx + 0.5).astype(jnp.int32)
@@ -222,9 +208,8 @@ def _rochade_kernel(
         phi = jnp.degrees(mathx.acos(-c5 / safe_kk) / 2.0)
         theta = jnp.degrees(mathx.atan2(c3, c4) / 2.0)
         ok = (
-            (good > 0.5)
-            & (lbl > 0.5)
-            & in_b
+            in_b
+            & ~bad
             & margin_ok
             & (d < 0.0)
             & (jnp.abs(x0) <= move_thr)
@@ -238,10 +223,15 @@ def _rochade_kernel(
         slots[sx, 3:4] = theta.reshape(1, 1)
         slots[sx, 4:5] = phi.reshape(1, 1)
         slots[sx, 5:6] = jnp.where(ok, 1.0, 0.0).reshape(1, 1)
-        slots[sx, 6:7] = lbl.reshape(1, 1)
-        return s + 1
+        slots[sx, 6:7] = (lbl.astype(jnp.float32) + 1.0).reshape(1, 1)
+        return s + 1, jnp.where(rem == lbl, big, rem)
 
-    lax.while_loop(scond, sbody, jnp.int32(0))
+    rem0 = jnp.where(root, own, big)
+    lax.while_loop(
+        lambda s: (s[0] < _SLOTS) & (jnp.min(s[1]) < big),
+        sbody,
+        (jnp.int32(0), rem0),
+    )
     out_ref[0, 0] = slots[:, :]
 
 
@@ -250,7 +240,6 @@ def _rochade_kernel(
 )
 def cluster_rochade(
     blur: jnp.ndarray,   # (B, Hp, Wp) f32, padded
-    resp: jnp.ndarray,   # (B, Hp, Wp) f32, padding >= 0
     thr: jnp.ndarray,    # (B,) f32
     h: int,              # true image height
     w: int,              # true image width
@@ -267,8 +256,8 @@ def cluster_rochade(
     assert wp % 128 == 0
     tiles = -(-h // _BAND)
 
-    cents = pl.pallas_call(
-        functools.partial(_label_kernel, h=h, w=w),
+    out = pl.pallas_call(
+        functools.partial(_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr),
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -282,35 +271,15 @@ def cluster_rochade(
         scratch_shapes=[
             pltpu.VMEM((_WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
-            pltpu.VMEM((_SLOTS, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=interpret,
-    )(thr.reshape(b, 1), resp)
-
-    out = pl.pallas_call(
-        functools.partial(_rochade_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr),
-        grid=(b, tiles),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((_WIN, wp), jnp.float32),
             pltpu.VMEM((5, _WIN, wp), jnp.float32),
             pltpu.VMEM((_SLOTS, 8), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(cents, blur)
+    )(thr.reshape(b, 1), blur)
     return out.reshape(b, tiles * _SLOTS, 8)
 
 

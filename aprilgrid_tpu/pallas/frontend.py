@@ -159,7 +159,12 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
     return lumaf, luma8
 
 
-def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w_pad, h, w):
+def _kernel(refs, *, taps, tile_h, w_pad, h, w, emit_resp):
+    if emit_resp:
+        luma_hbm, blur_ref, resp_ref, min_ref, slab, sem = refs
+    else:
+        luma_hbm, blur_ref, min_ref, slab, sem = refs
+        resp_ref = None
     bi = pl.program_id(0)
     i = pl.program_id(1)
     radius = (len(taps) - 1) // 2
@@ -209,7 +214,8 @@ def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w
     center = (slice(_HALO, _HALO + tile_h), slice(128, 128 + w_pad))
     blur_ref[0, :, :] = blur[center]
     resp_center = jnp.where(border, 0.0, resp[center])
-    resp_ref[0, :, :] = resp_center
+    if emit_resp:
+        resp_ref[0, :, :] = resp_center
     # per-tile response minimum: the clustering threshold is
     # ratio * global_min (src/detector.rs:414-418); reducing per tile here
     # saves a whole-image pass (vector-tile output: SMEM outputs need
@@ -218,7 +224,8 @@ def _kernel(luma_hbm, blur_ref, resp_ref, min_ref, slab, sem, *, taps, tile_h, w
 
 
 @functools.partial(
-    jax.jit, static_argnames=("sigma", "interpret", "crop", "true_shape")
+    jax.jit,
+    static_argnames=("sigma", "interpret", "crop", "true_shape", "emit_resp"),
 )
 def fused_frontend(
     luma: jnp.ndarray,
@@ -226,6 +233,7 @@ def fused_frontend(
     interpret: bool = False,
     crop: bool = True,
     true_shape: tuple[int, int] | None = None,
+    emit_resp: bool = True,
 ):
     """(H, W) or (B, H, W) f32 luma -> (blur, resp) of the same shape.
 
@@ -261,36 +269,45 @@ def fused_frontend(
         mode="edge",
     )
 
+    plane_spec = pl.BlockSpec(
+        (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+    )
+    min_spec = pl.BlockSpec(
+        (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    plane_shape = jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32)
+    min_shape = jax.ShapeDtypeStruct((b, h_pad // tile_h, 8, 128), jnp.float32)
+    if emit_resp:
+        out_specs = (plane_spec, plane_spec, min_spec)
+        out_shape = (plane_shape, plane_shape, min_shape)
+    else:
+        out_specs = (plane_spec, min_spec)
+        out_shape = (plane_shape, min_shape)
+
+    def kernel(*refs):
+        _kernel(
+            refs, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h, w=w,
+            emit_resp=emit_resp,
+        )
+
     grid = (b, h_pad // tile_h)
-    blur, resp, tile_min = pl.pallas_call(
-        functools.partial(
-            _kernel, taps=taps, tile_h=tile_h, w_pad=w_pad, h=h, w=w
-        ),
+    outs = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=(
-            pl.BlockSpec(
-                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_pad // tile_h, 8, 128), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((tile_h + 2 * _HALO, w_pad + 256), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(x)
+    if not emit_resp:
+        blur, tile_min = outs
+        assert not crop, "emit_resp=False implies padded outputs"
+        return blur, tile_min
+    blur, resp, tile_min = outs
     if not crop:
         return blur, resp, tile_min
     blur = blur[:, :h, :w]

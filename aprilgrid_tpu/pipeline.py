@@ -100,13 +100,13 @@ def saddle_frontend_batch(
         # blur/response/tile-min -> clusters+ROCHADE; luma8 stays padded
         # (decode gates on the true size)
         luma_f, luma_u8 = gray_kernel(imgs)
-        blur_p, resp_p, tile_min = fused_frontend(
-            luma_f, consts.blur_sigma, crop=False, true_shape=(h, w)
+        blur_p, tile_min = fused_frontend(
+            luma_f, consts.blur_sigma, crop=False, true_shape=(h, w),
+            emit_resp=False,
         )
         thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
         fields = cluster_rochade(
             blur_p,
-            resp_p,
             thr,
             h,
             w,
