@@ -37,7 +37,7 @@ def main() -> int:
     from aprilgrid_tpu.detector import TagDetector
     from aprilgrid_tpu.oracle.numpy_ref import load_image
 
-    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     import jax.numpy as jnp
