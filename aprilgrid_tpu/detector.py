@@ -202,56 +202,94 @@ class TagDetector:
         ]
 
     def _detect_hybrid(
-        self, imgs: np.ndarray
+        self, imgs: np.ndarray, chunk: int = 64
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Hybrid runtime (see native/search.cpp): TPU dense front-end,
         native C++ board search on the tiny saddle arrays, TPU decode.
-        Semantics identical to the xla mode / the reference."""
+        Semantics identical to the xla mode / the reference.
+
+        Batches are processed in chunks as a software pipeline so the
+        single-core host search overlaps with async device decode work.
+        """
         from . import native
 
         b = imgs.shape[0]
+        hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2
         dcap = min(cap, 2 * self.caps.max_tags)
-        packed, luma8 = self._frontend_packed_fn(imgs)
-        packed = np.asarray(packed)         # one transfer: (B, N, 4)
-        sp = np.ascontiguousarray(packed[..., 0:2])
-        stheta = np.ascontiguousarray(packed[..., 2])
-        alive = np.ascontiguousarray(packed[..., 3] > 0.5).astype(np.uint8)
+        n_chunks = max(1, -(-b // chunk))
+        bounds = [
+            (i * b // n_chunks, (i + 1) * b // n_chunks)
+            for i in range(n_chunks)
+        ]
+
+        # dispatch every chunk's front-end up front (async on device)
+        fronts = [self._frontend_packed_fn(imgs[lo:hi]) for lo, hi in bounds]
+        state = []
+        for packed, _luma8 in fronts:
+            pk = np.asarray(packed)  # one transfer per chunk: (b, N, 4)
+            state.append(
+                {
+                    "sp": np.ascontiguousarray(pk[..., 0:2]),
+                    "theta": np.ascontiguousarray(pk[..., 2]),
+                    "alive": np.ascontiguousarray(pk[..., 3] > 0.5).astype(
+                        np.uint8
+                    ),
+                }
+            )
         results: list[dict] = [{} for _ in range(b)]
-        for _ in range(self.params.max_num_of_boards):
+
+        def search_and_dispatch(ci):
+            st = state[ci]
             quads, counts = native.find_board_batch(
-                np.ascontiguousarray(sp[..., 0]),
-                np.ascontiguousarray(sp[..., 1]),
-                stheta,
-                alive,
+                np.ascontiguousarray(st["sp"][..., 0]),
+                np.ascontiguousarray(st["sp"][..., 1]),
+                st["theta"],
+                st["alive"],
                 spacing_ratio=self.params.tag_spacing_ratio,
                 max_seeds=self.consts.max_seeds,
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
             quads = quads[:, :dcap]
-            slot = np.arange(dcap)[None, :]
-            quad_valid = slot < counts[:, None]
+            nb = st["sp"].shape[0]
+            quad_valid = np.arange(dcap)[None, :] < counts[:, None]
             quad_pos = np.take_along_axis(
-                sp, np.maximum(quads, 0).reshape(b, -1, 1), axis=1
-            ).reshape(b, dcap, 4, 2)
+                st["sp"], np.maximum(quads, 0).reshape(nb, -1, 1), axis=1
+            ).reshape(nb, dcap, 4, 2)
             dec = self._decode_batch_fn(
-                luma8,
+                fronts[ci][1],
                 jnp.asarray(quad_pos),
                 jnp.asarray(quad_valid),
-                hw=(int(imgs.shape[1]), int(imgs.shape[2])),
+                hw=hw,
             )
-            dec = jax.tree.map(np.asarray, dec)
-            for i in range(b):
+            return quads, dec
+
+        def collect(ci, quads, dec):
+            lo, _hi = bounds[ci]
+            st = state[ci]
+            dec = jax.tree.map(np.asarray, dec)  # sync this chunk's decode
+            for i in range(st["sp"].shape[0]):
                 for j in np.flatnonzero(dec.valid[i]):
-                    results[i][int(dec.ids[i][j])] = [
-                        (float(dec.corners[i, j, c, 0]), float(dec.corners[i, j, c, 1]))
+                    results[lo + i][int(dec.ids[i][j])] = [
+                        (
+                            float(dec.corners[i, j, c, 0]),
+                            float(dec.corners[i, j, c, 1]),
+                        )
                         for c in range(4)
                     ]
                 # successfully decoded quads release their saddles
                 # (src/detector.rs:517-536)
                 used = quads[i][dec.valid[i]].reshape(-1)
-                alive[i][used] = 0
+                st["alive"][i][used] = 0
+
+        for _ in range(self.params.max_num_of_boards):
+            pending = []
+            # host search of chunk k overlaps the device decode of k-1
+            for ci in range(n_chunks):
+                pending.append((ci,) + search_and_dispatch(ci))
+            for ci, quads, dec in pending:
+                collect(ci, quads, dec)
         return results
 
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:

@@ -23,6 +23,7 @@ DATA_DIR = Path(__file__).resolve().parent / "data"
 # Golden tag counts from the reference integration suite
 # (reference: tests/test_detector.rs:25-33).
 GOLDEN_COUNTS = {
+    "calib_sample": 36,  # bundled data/ frame (BASELINE config 1)
     "iphone": 66,
     "EuRoC": 36,
     "TUM_VI": 36,
