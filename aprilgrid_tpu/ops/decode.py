@@ -128,9 +128,9 @@ def decode_quads(
     perms = jnp.asarray(_rot_perms(spec.edge))   # (4, nb)
     rots = lsb[:, perms]                         # (T, 4, nb)
     codes = jnp.asarray(spec.code_bits.astype(np.float32))  # (C, nb)
-    inner = jnp.einsum(
-        "trn,cn->trc", rots, codes, precision=lax.Precision.HIGHEST
-    )
+    # default (bf16) MXU precision is exact here: operands are 0/1 bits
+    # and dot-product sums are <= 36 < 2^8
+    inner = jnp.einsum("trn,cn->trc", rots, codes)
     ham = rots.sum(-1)[..., None] + codes.sum(-1)[None, None, :] - 2.0 * inner
     best_idx = jnp.argmin(ham, axis=-1)  # (T, 4) first min
     best_score = jnp.take_along_axis(ham, best_idx[..., None], -1)[..., 0]
