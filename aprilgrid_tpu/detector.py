@@ -269,19 +269,16 @@ class TagDetector:
             lo, _hi = bounds[ci]
             st = state[ci]
             dec = jax.tree.map(np.asarray, dec)  # sync this chunk's decode
-            for i in range(st["sp"].shape[0]):
-                for j in np.flatnonzero(dec.valid[i]):
-                    results[lo + i][int(dec.ids[i][j])] = [
-                        (
-                            float(dec.corners[i, j, c, 0]),
-                            float(dec.corners[i, j, c, 1]),
-                        )
-                        for c in range(4)
-                    ]
-                # successfully decoded quads release their saddles
-                # (src/detector.rs:517-536)
-                used = quads[i][dec.valid[i]].reshape(-1)
-                st["alive"][i][used] = 0
+            fi, fj = np.nonzero(dec.valid)
+            ids = dec.ids[fi, fj]
+            corners = dec.corners[fi, fj].tolist()  # (K, 4, 2) floats
+            for i, tag_id, cs in zip(fi.tolist(), ids.tolist(), corners):
+                results[lo + i][tag_id] = [tuple(c) for c in cs]
+            # successfully decoded quads release their saddles
+            # (src/detector.rs:517-536)
+            used_i = np.repeat(fi, 4)
+            used_s = quads[fi, fj].reshape(-1)
+            st["alive"][used_i, used_s] = 0
 
         for _ in range(self.params.max_num_of_boards):
             pending = []

@@ -58,17 +58,40 @@ def _kernel(
 ):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
     hp = blur_hbm.shape[1]
     row0 = _window_start(ti, hp)
 
-    cp = pltpu.make_async_copy(
-        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w, sem
-    )
-    cp.start()
-    cp.wait()
+    # double-buffered window DMA: program (bi, ti) consumes slot ti%2 and
+    # prefetches the next program's window into the other slot
+    slot = ti % 2
+
+    @pl.when(jnp.logical_and(bi == 0, ti == 0))
+    def _():
+        pltpu.make_async_copy(
+            blur_hbm.at[0, pl.ds(row0, _WIN), :], blur_w.at[0], sem.at[0]
+        ).start()
+
+    last_t = ti == nt - 1
+    nbi = jnp.where(last_t, bi + 1, bi)
+    nti = jnp.where(last_t, 0, ti + 1)
+    nrow0 = _window_start(nti, hp)
+
+    @pl.when(nbi < nb)
+    def _():
+        pltpu.make_async_copy(
+            blur_hbm.at[nbi, pl.ds(nrow0, _WIN), :],
+            blur_w.at[1 - slot],
+            sem.at[1 - slot],
+        ).start()
+
+    pltpu.make_async_copy(
+        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w.at[slot], sem.at[slot]
+    ).wait()
 
     thr = thr_ref[bi, 0]
-    blur = blur_w[:]
+    blur = blur_w[slot]
     wp = blur.shape[1]
 
     rloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 0)
@@ -269,11 +292,11 @@ def cluster_rochade(
         ),
         out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_WIN, wp), jnp.float32),
+            pltpu.VMEM((2, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((5, _WIN, wp), jnp.float32),
             pltpu.VMEM((_SLOTS, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
