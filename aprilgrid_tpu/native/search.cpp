@@ -134,19 +134,27 @@ struct SpatialGrid {
     int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
     int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
     int max_ring = nx + ny;
+    auto scan_cell = [&](int gx, int gy) {
+      if (gx < 0 || gx >= nx || gy < 0 || gy >= ny) return;
+      size_t c = (size_t)gy * nx + gx;
+      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
+        int i = items[ii];
+        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+        out.emplace_back(dx * dx + dy * dy, i);
+      }
+    };
     for (int ring = 0; ring <= max_ring; ++ring) {
       int xa = cx - ring, xb = cx + ring, ya = cy - ring, yb = cy + ring;
-      for (int gy = std::max(0, ya); gy <= std::min(ny - 1, yb); ++gy) {
-        bool edge_row = (gy == ya || gy == yb);
-        int step = (edge_row || xb == xa) ? 1 : (xb - xa);
-        for (int gx = std::max(0, xa); gx <= std::min(nx - 1, xb);
-             gx += step) {
-          size_t c = (size_t)gy * nx + gx;
-          for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
-            int i = items[ii];
-            float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
-            out.emplace_back(dx * dx + dy * dy, i);
-          }
+      if (ring == 0) {
+        scan_cell(cx, cy);
+      } else {
+        for (int gx = xa; gx <= xb; ++gx) {  // top and bottom rows
+          scan_cell(gx, ya);
+          scan_cell(gx, yb);
+        }
+        for (int gy = ya + 1; gy <= yb - 1; ++gy) {  // side columns
+          scan_cell(xa, gy);
+          scan_cell(xb, gy);
         }
       }
       if ((int)out.size() >= k) {

@@ -82,18 +82,19 @@ def _combo_index() -> np.ndarray:
     ).astype(np.int32)
 
 
-def knn_table(saddles, k: int = 64) -> jnp.ndarray:
-    """(N, k) nearest-neighbor index table over valid saddles.
+def knn_table(saddles, alive: jnp.ndarray, k: int = 64) -> jnp.ndarray:
+    """(N, k) nearest-neighbor index table over the round's alive saddles
+    (the reference rebuilds its kd-tree per round over the surviving
+    list, src/detector.rs:592-595).
 
     Computed once per board search; expansion targets are always within
     ~2.3 tag-edge lengths of a source corner, so the true 3-NN of a
     target is contained in the source's k-NN list at any realistic board
-    density (see propose_expansions). Replaces the reference's kd-tree
-    (src/detector.rs:592-595)."""
+    density (see propose_expansions)."""
     d2 = jnp.sum(
         (saddles.p[:, None, :] - saddles.p[None, :, :]) ** 2, axis=-1
     )
-    d2 = jnp.where(saddles.valid[None, :], d2, jnp.inf)
+    d2 = jnp.where(alive[None, :], d2, jnp.inf)
     _, idx = lax.top_k(-d2, k)
     return idx.astype(jnp.int32)
 
@@ -101,6 +102,7 @@ def knn_table(saddles, k: int = 64) -> jnp.ndarray:
 def propose_expansions(
     saddles,
     knn: jnp.ndarray,
+    alive: jnp.ndarray,
     quads: jnp.ndarray,
     active: jnp.ndarray,
     spacing_ratio: float,
@@ -140,7 +142,9 @@ def propose_expansions(
     )  # (P, 4, K)
     pool_p = saddles.p[pool]  # (P, 4, K, 2)
     d2 = jnp.sum((pool_p - targets[:, :, None, :]) ** 2, axis=-1)
-    d2 = jnp.where(saddles.valid[pool], d2, jnp.inf)
+    # the reference tree holds the round's surviving saddles (board-
+    # consumed ones included — those are gated by `active` afterwards)
+    d2 = jnp.where(alive[pool], d2, jnp.inf)
     neg, slot = lax.top_k(-d2, 3)  # (P, 4, 3) nearest-first
     idx = jnp.take_along_axis(pool, slot, axis=-1)
     dist_sq = -neg
@@ -173,6 +177,7 @@ def propose_expansions(
 def grow_board(
     saddles,
     knn: jnp.ndarray,
+    alive: jnp.ndarray,
     seed_quad: jnp.ndarray,
     seed_valid: jnp.ndarray,
     active_in: jnp.ndarray,
@@ -223,7 +228,7 @@ def grow_board(
         rot_ix = (d[:, None] + jnp.arange(4)[None, :]) % 4
         rot = jnp.take_along_axis(cell_quad[cell], rot_ix, axis=1)
 
-        new_q, valid = propose_expansions(saddles, knn, rot, active, spacing_ratio)
+        new_q, valid = propose_expansions(saddles, knn, alive, rot, active, spacing_ratio)
         valid &= live
         # rotate back right by d before storing (src/board.rs:138-139)
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
@@ -266,7 +271,7 @@ def grow_board(
     )
 
 
-def fix_missing(saddles, board: BoardState, grid_radius: int) -> BoardState:
+def fix_missing(saddles, board: BoardState, alive: jnp.ndarray, grid_radius: int) -> BoardState:
     """Repair holes whose opposite neighbors are both placed
     (try_fix_missing, src/board.rs:52-112)."""
     g = 2 * grid_radius + 1
@@ -300,12 +305,12 @@ def fix_missing(saddles, board: BoardState, grid_radius: int) -> BoardState:
     q1 = board.cell_quad[b1]
     mid = (saddles.p[jnp.maximum(q0, 0)] + saddles.p[jnp.maximum(q1, 0)]) / 2.0
 
-    # 1-NN over all (valid) saddles — reference queries the kd-tree
-    # without the active gate (src/board.rs:88)
+    # 1-NN over the round's alive saddles — reference queries the kd-tree
+    # without the board-active gate (src/board.rs:88)
     d2 = jnp.sum(
         (saddles.p[None, None, :, :] - mid[:, :, None, :]) ** 2, axis=-1
     )
-    d2 = jnp.where(saddles.valid[None, None, :], d2, jnp.inf)
+    d2 = jnp.where(alive[None, None, :], d2, jnp.inf)
     nearest = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (G2, 4)
 
     good = fix & is_valid_quad_idx(saddles, nearest)

@@ -27,6 +27,8 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
+from .geometry import rust_round
+
 
 class Saddles(NamedTuple):
     """SoA saddle set (reference struct: src/saddle.rs:3-9)."""
@@ -36,11 +38,6 @@ class Saddles(NamedTuple):
     theta: jnp.ndarray   # (K,) ridge orientation, degrees
     phi: jnp.ndarray     # (K,) opening angle, degrees
     valid: jnp.ndarray   # (K,) bool
-
-
-def rust_round(x: jnp.ndarray) -> jnp.ndarray:
-    """f32::round — half away from zero."""
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
 @functools.lru_cache(maxsize=None)

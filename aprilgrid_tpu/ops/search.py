@@ -71,7 +71,7 @@ def find_best_board(
 
     seed_idx, seed_ok = _seed_order(saddles, alive, max_seeds)
     num_groups = -(-max_seeds // seeds_per_group)
-    knn = knn_table(saddles)
+    knn = knn_table(saddles, alive)
 
     def empty_board() -> BoardState:
         return BoardState(
@@ -105,7 +105,7 @@ def find_best_board(
 
         boards = jax.vmap(
             lambda q, v: grow_board(
-                saddles, knn, q, v, alive, spacing_ratio, grid_radius,
+                saddles, knn, alive, q, v, alive, spacing_ratio, grid_radius,
                 max_attempts=max_attempts,
             )
         )(b_q, b_ok)
@@ -130,5 +130,5 @@ def find_best_board(
     _, best = lax.while_loop(group_cond, group_body, (jnp.int32(0), empty_board()))
 
     found = best.score > 0
-    best = fix_missing(saddles, best, grid_radius)
+    best = fix_missing(saddles, best, alive, grid_radius)
     return SearchResult(board=best, found=found)

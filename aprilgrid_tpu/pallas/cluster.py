@@ -63,9 +63,10 @@ def _kernel(
     hp = blur_hbm.shape[1]
     row0 = _window_start(ti, hp)
 
-    # double-buffered window DMA: program (bi, ti) consumes slot ti%2 and
-    # prefetches the next program's window into the other slot
-    slot = ti % 2
+    # double-buffered window DMA: slot parity follows the GLOBAL step
+    # (bi*nt + ti) so it stays consistent across batch boundaries when the
+    # per-frame tile count is odd
+    slot = (bi * nt + ti) % 2
 
     @pl.when(jnp.logical_and(bi == 0, ti == 0))
     def _():

@@ -96,6 +96,9 @@ def saddle_frontend_batch(
         from .pallas.cluster import cluster_rochade, saddles_from_candidates
         from .pallas.frontend import fused_frontend, gray_kernel
 
+        if imgs.ndim == 4 and imgs.shape[3] == 4:
+            imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
+
         # fully fused Pallas path: raw frames -> padded luma planes ->
         # blur/response/tile-min -> clusters+ROCHADE; luma8 stays padded
         # (decode gates on the true size)
