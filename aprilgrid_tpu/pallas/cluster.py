@@ -53,7 +53,7 @@ def _window_start(ti, hp):
 
 
 def _kernel(
-    thr_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots, sem,
+    thr_ref, skip_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots, sem,
     *, h, w, hp2, move_thr,
 ):
     bi = pl.program_id(0)
@@ -91,8 +91,23 @@ def _kernel(
         blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w.at[slot], sem.at[slot]
     ).wait()
 
+    out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], jnp.float32)
+
+    # windows whose response minimum is above the threshold hold no
+    # clusters — skip all compute (the DMA chain above stays in lockstep)
+    @pl.when(skip_ref[bi, ti] == 0)
+    def _window_body():
+        _compute(
+            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, slots,
+            bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
+        )
+
+
+def _compute(
+    thr_ref, out_ref, blur, lab_ref, fbuf, slots,
+    *, bi, ti, row0, h, w, hp2, move_thr,
+):
     thr = thr_ref[bi, 0]
-    blur = blur_w[slot]
     wp = blur.shape[1]
 
     rloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 0)
@@ -265,6 +280,7 @@ def _kernel(
 def cluster_rochade(
     blur: jnp.ndarray,   # (B, Hp, Wp) f32, padded
     thr: jnp.ndarray,    # (B,) f32
+    skip: jnp.ndarray,   # (B, T) int32 — 1 where the window holds no cluster
     h: int,              # true image height
     w: int,              # true image width
     hp2: int = 4,
@@ -279,11 +295,13 @@ def cluster_rochade(
     assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
     assert wp % 128 == 0
     tiles = -(-h // _BAND)
+    assert skip.shape == (b, tiles)
 
     out = pl.pallas_call(
         functools.partial(_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr),
         grid=(b, tiles),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -303,7 +321,7 @@ def cluster_rochade(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(thr.reshape(b, 1), blur)
+    )(thr.reshape(b, 1), skip.astype(jnp.int32), blur)
     return out.reshape(b, tiles * _SLOTS, 8)
 
 

@@ -107,10 +107,26 @@ def saddle_frontend_batch(
             luma_f, consts.blur_sigma, crop=False, true_shape=(h, w),
             emit_resp=False,
         )
-        thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
+        tmin = jnp.min(tile_min, axis=(2, 3))                 # (B, T64)
+        thr = jnp.min(tmin, axis=1) * consts.response_threshold_ratio
+        # per-window skip flags: a 32-row band's 88-row window spans up
+        # to three 64-row frontend tiles; if the response minimum over
+        # all of them is above the threshold the window holds no cluster
+        import numpy as _np
+
+        hp = blur_p.shape[1]
+        t32 = -(-h // 32)
+        cover = _np.zeros((t32, 3), _np.int32)
+        for ti in range(t32):
+            row0 = min(max(ti * 32 - 8, 0), hp - 88)
+            lo, hi = row0 // 64, min((row0 + 87) // 64, tile_min.shape[1] - 1)
+            cover[ti] = [lo, min(lo + 1, hi), hi]
+        win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, T32)
+        skip = (win_min >= thr[:, None]).astype(jnp.int32)
         fields = cluster_rochade(
             blur_p,
             thr,
+            skip,
             h,
             w,
             2 * consts.rochade_half_patch,

@@ -64,7 +64,9 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
         luma, 1.5, interpret=True, crop=False, emit_resp=False
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * 0.05
-    fields = cluster_rochade(blur_p, thr, h, w, 4, 1.0, interpret=True)
+    tiles = -(-h // 32)
+    skip = jnp.zeros((1, tiles), jnp.int32)
+    fields = cluster_rochade(blur_p, thr, skip, h, w, 4, 1.0, interpret=True)
     raw = jax.vmap(saddles_from_candidates)(fields)
     s = jax.vmap(lambda x: filter_and_compact(x, 768, 0.1, 30.0, 60.0))(raw)
     got = np.asarray(s.p[0])[np.asarray(s.valid[0])]
