@@ -41,10 +41,10 @@ from jax.experimental.pallas import tpu as pltpu
 from ..ops.rochade import Saddles, _constants
 from . import mathx
 
-_BAND = 32      # rows assigned per tile
-_WIN = 88       # window rows (band + tall-cluster headroom + margins)
+_BAND = 64      # rows assigned per tile
+_WIN = 120      # window rows (band + tall-cluster headroom + margins)
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
-_SLOTS = 256    # max clusters extracted per tile
+_SLOTS = 512    # max clusters extracted per tile
 _SUB = 48       # member-scan row window per cluster (>= max blob height)
 
 

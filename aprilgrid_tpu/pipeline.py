@@ -114,14 +114,17 @@ def saddle_frontend_batch(
         # all of them is above the threshold the window holds no cluster
         import numpy as _np
 
+        from .pallas.cluster import _BAND as _CB, _WIN as _CW
+
         hp = blur_p.shape[1]
-        t32 = -(-h // 32)
-        cover = _np.zeros((t32, 3), _np.int32)
-        for ti in range(t32):
-            row0 = min(max(ti * 32 - 8, 0), hp - 88)
-            lo, hi = row0 // 64, min((row0 + 87) // 64, tile_min.shape[1] - 1)
+        tcl = -(-h // _CB)
+        cover = _np.zeros((tcl, 3), _np.int32)
+        for ti in range(tcl):
+            row0 = min(max(ti * _CB - 8, 0), hp - _CW)
+            lo = row0 // 64
+            hi = min((row0 + _CW - 1) // 64, tile_min.shape[1] - 1)
             cover[ti] = [lo, min(lo + 1, hi), hi]
-        win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, T32)
+        win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, Tc)
         skip = (win_min >= thr[:, None]).astype(jnp.int32)
         fields = cluster_rochade(
             blur_p,

@@ -64,7 +64,9 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
         luma, 1.5, interpret=True, crop=False, emit_resp=False
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * 0.05
-    tiles = -(-h // 32)
+    from aprilgrid_tpu.pallas.cluster import _BAND
+
+    tiles = -(-h // _BAND)
     skip = jnp.zeros((1, tiles), jnp.int32)
     fields = cluster_rochade(blur_p, thr, skip, h, w, 4, 1.0, interpret=True)
     raw = jax.vmap(saddles_from_candidates)(fields)
