@@ -79,6 +79,21 @@ class TagDetector:
         self.consts = constants or CONSTANTS
         if mode not in ("hybrid", "xla"):
             raise ValueError(f"unknown mode {mode!r}")
+        if mode == "hybrid":
+            # the hybrid runtime needs the native search library; fall
+            # back to the pure-XLA pipeline when no toolchain is present
+            try:
+                from . import native
+
+                native.build()
+            except Exception as e:  # pragma: no cover - env dependent
+                import warnings
+
+                warnings.warn(
+                    f"native board-search library unavailable ({e}); "
+                    "falling back to mode='xla'"
+                )
+                mode = "xla"
         self.mode = mode
         if use_pallas is None:
             # Mosaic kernels compile on TPU backends only

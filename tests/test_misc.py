@@ -1,0 +1,43 @@
+"""Smoke tests for the auxiliary surfaces (profiling, viz, CLI)."""
+
+import numpy as np
+
+from aprilgrid_tpu.detector import TagDetector
+from aprilgrid_tpu.oracle.numpy_ref import load_image
+
+
+def test_stage_report(data_dir):
+    from aprilgrid_tpu.utils.profiling import detect_stage_report
+
+    det = TagDetector("t36h11")
+    img = load_image(str(data_dir / "EuRoC.png"))
+    report = detect_stage_report(det, np.stack([img]), reps=1)
+    assert "board search" in report and "total" in report
+
+
+def test_overlay_render(data_dir):
+    from aprilgrid_tpu.viz import render_overlay
+
+    det = TagDetector("t36h11")
+    img = load_image(str(data_dir / "EuRoC.png"))
+    tags = det.detect(img)
+    out = render_overlay(img, tags=tags, saddles=det.refined_saddle_points(img))
+    assert out.shape == img.shape + (3,)
+    assert out.dtype == np.uint8
+
+
+def test_chart_cli(tmp_path):
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [
+            sys.executable, "tools/generate_aprilgrid.py", "-t", "t16h5",
+            "-x", "2", "-y", "2", "--out-dir", str(tmp_path),
+            "--pixels-per-mm", "0.5",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stderr
+    assert (tmp_path / "t16h5_2x2_start_id_0.png").exists()
