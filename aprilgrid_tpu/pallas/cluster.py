@@ -46,6 +46,7 @@ _WIN = 120      # window rows (band + tall-cluster headroom + margins)
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
 _SLOTS = 512    # max clusters extracted per tile
 _SUB = 48       # member-scan row window per cluster (>= max blob height)
+_SUBW = 256     # member-scan lane window per cluster (>= max blob width)
 
 
 def _window_start(ti, hp):
@@ -200,16 +201,24 @@ def _compute(
     def sbody(state):
         s, rem = state
         lbl = jnp.min(rem)
-        # member scan over a 48-row window starting at the root's row
+        # member scan over a 48-row x 256-lane window around the root
+        # (blobs span <= ~30 px; anything touching the scan border that
+        # could continue beyond it is dropped below)
         lroot = jnp.clip(lbl // w - row0, 0, _WIN - _SUB)
         lroot = pl.multiple_of((lroot // 8) * 8, 8)
-        sub = lab_ref[pl.ds(lroot, _SUB), :]
+        croot = lbl % w
+        cstart = jnp.clip(((croot - 64) // 128) * 128, 0, wp - _SUBW)
+        cstart = pl.multiple_of(cstart, 128)
+        sub = lab_ref[pl.ds(lroot, _SUB), pl.ds(cstart, _SUBW)]
         member = sub == lbl
         memberf = member.astype(jnp.float32)
         cnt = jnp.sum(memberf)
-        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 0)
-        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, wp), 1)
-        cx = jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
+        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
+        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
+        cx = (
+            jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
+            + cstart.astype(jnp.float32)
+        )
         cy = (
             jnp.sum(memberf * subrow.astype(jnp.float32)) / cnt
             + (row0 + lroot).astype(jnp.float32)
@@ -217,6 +226,8 @@ def _compute(
         # drop clusters that may extend beyond the scanned window
         last_global = row0 + lroot + _SUB - 1
         bad = jnp.any(member & (subrow >= _SUB - 2)) & (last_global < h - 1)
+        bad |= jnp.any(member & (subcol == 0)) & (cstart > 0)
+        bad |= jnp.any(member & (subcol == _SUBW - 1)) & (cstart + _SUBW < w)
 
         # reference rust_round (coords are non-negative here)
         rx = jnp.floor(cx + 0.5).astype(jnp.int32)
