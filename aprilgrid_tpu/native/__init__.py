@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import ctypes
 import functools
+import os
 import subprocess
 from pathlib import Path
 
@@ -20,18 +21,31 @@ _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "search.cpp"
 _LIB = _DIR / "libagsearch.so"
 
+# Portable baseline flags (no -march=native: a .so built on one host and
+# shared to another — NFS checkout, container image — must not SIGILL;
+# the search is pointer-chasing, not SIMD-bound, so -O3 is what matters).
+_CFLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+
 
 def build(force: bool = False) -> Path:
-    """Compile the native library if missing or stale."""
-    if force or not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+    """Compile the native library if missing or stale (source newer, or
+    built with different flags)."""
+    stamp = _DIR / ".build_flags"
+    flags = " ".join(_CFLAGS)
+    stale = (
+        force
+        or not _LIB.exists()
+        or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        or not stamp.exists()
+        or stamp.read_text() != flags
+    )
+    if stale:
         subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-std=c++17", "-shared",
-                "-fPIC", str(_SRC), "-o", str(_LIB),
-            ],
+            ["g++", *_CFLAGS, str(_SRC), "-o", str(_LIB)],
             check=True,
             capture_output=True,
         )
+        stamp.write_text(flags)
     return _LIB
 
 
@@ -44,7 +58,7 @@ def _lib() -> ctypes.CDLL:
     lib.ag_find_board.restype = ctypes.c_int
     lib.ag_find_board.argtypes = [
         f32p, f32p, f32p, u8p, ctypes.c_int, ctypes.c_float,
-        ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
     ]
     lib.ag_find_board_batch.restype = None
     lib.ag_find_board_batch.argtypes = [
@@ -62,7 +76,6 @@ def find_board(
     spacing_ratio: float = 0.3,
     max_seeds: int = 30,
     early_exit_score: int = 36,
-    fast: bool = False,
     cap: int = 169,
 ) -> np.ndarray:
     """One board-search pass; returns (count, 4) int32 tag quads."""
@@ -73,7 +86,7 @@ def find_board(
         np.ascontiguousarray(py, np.float32),
         np.ascontiguousarray(theta, np.float32),
         np.ascontiguousarray(alive, np.uint8),
-        n, spacing_ratio, max_seeds, early_exit_score, int(fast), out, cap,
+        n, spacing_ratio, max_seeds, early_exit_score, out, cap,
     )
     return out[:cnt]
 
@@ -86,19 +99,23 @@ def find_board_batch(
     spacing_ratio: float = 0.3,
     max_seeds: int = 30,
     early_exit_score: int = 36,
-    fast: bool = False,
     cap: int = 169,
+    num_threads: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batched pass; returns (quads (B, cap, 4) int32, counts (B,) int32)."""
+    """Batched pass over B independent frames, parallelized across host
+    threads (``num_threads`` defaults to AG_SEARCH_THREADS or all cores);
+    returns (quads (B, cap, 4) int32, counts (B,) int32)."""
     b, n = px.shape
     quads = np.zeros((b, cap, 4), np.int32)
     counts = np.zeros(b, np.int32)
+    if num_threads is None:
+        num_threads = int(os.environ.get("AG_SEARCH_THREADS", "0"))
     _lib().ag_find_board_batch(
         np.ascontiguousarray(px, np.float32),
         np.ascontiguousarray(py, np.float32),
         np.ascontiguousarray(theta, np.float32),
         np.ascontiguousarray(alive, np.uint8),
-        b, n, spacing_ratio, max_seeds, early_exit_score, int(fast),
+        b, n, spacing_ratio, max_seeds, early_exit_score, num_threads,
         quads, counts, cap,
     )
     return quads, counts

@@ -11,13 +11,21 @@
 // queries, and the board cell map is a flat bounded grid instead of a
 // hash map.
 //
-// Build: g++ -O3 -march=native -std=c++17 -shared -fPIC search.cpp -o libagsearch.so
+// The batch entry point fans frames out across a host thread pool —
+// frames are independent, and the search state (Workspace, SpatialGrid,
+// scratch vectors) is allocated per call, so the per-frame function is
+// reentrant as-is. The reference is single-threaded by design
+// (SURVEY.md section 2c); our host runtime has no such constraint.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC -pthread search.cpp -o libagsearch.so
 
 #include <algorithm>
 #include <array>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -383,13 +391,12 @@ extern "C" {
 
 // One try_find_best_board pass (src/detector.rs:588-639) over the alive
 // saddles. Returns the number of tag quads written to out_quads
-// (cap x 4 int32 global saddle indices). fast!=0 skips re-growing a
-// candidate quad whose saddles already all belong to the current best
-// board once the early-exit score is reached (output-equivalent on
-// clean data; exact mode grows every candidate like the reference).
+// (cap x 4 int32 global saddle indices). Every candidate quad is grown
+// exactly like the reference (a former "fast" skip heuristic was removed:
+// it was unsound on merged-board scenes such as two_boards.png).
 int ag_find_board(const float* px, const float* py, const float* theta,
                   const uint8_t* alive, int n, float spacing_ratio,
-                  int max_seeds, int early_exit_score, int fast,
+                  int max_seeds, int early_exit_score,
                   int32_t* out_quads, int cap) {
   std::vector<Saddle> s;
   std::vector<int> gidx;
@@ -425,7 +432,6 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   std::vector<std::array<int, 4>> best_quads;
   std::vector<int> best_cellmap;
   std::vector<int> best_touched;
-  std::vector<uint8_t> in_best(m, 0);
   std::vector<std::array<int, 4>> cand;
   std::vector<std::pair<float, int>> nn;
   int count = 0;
@@ -434,9 +440,6 @@ int ag_find_board(const float* px, const float* py, const float* theta,
     seeds.pop_back();
     init_quads(s, grid, s0, nn, cand);
     for (auto& q : cand) {
-      if (fast && best_score >= early_exit_score && in_best[q[0]] &&
-          in_best[q[1]] && in_best[q[2]] && in_best[q[3]])
-        continue;
       int qi[4] = {q[0], q[1], q[2], q[3]};
       searcher.grow(qi, active_mask);
       if (searcher.score > best_score) {
@@ -444,9 +447,6 @@ int ag_find_board(const float* px, const float* py, const float* theta,
         best_quads = ws.quads;
         best_cellmap = ws.cellmap;
         best_touched = ws.touched;
-        std::fill(in_best.begin(), in_best.end(), 0);
-        for (auto& bq : best_quads)
-          for (int j = 0; j < 4; ++j) in_best[bq[j]] = 1;
       }
     }
     if (best_score >= early_exit_score) break;
@@ -472,19 +472,40 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   return written;
 }
 
-// Batched variant: B independent frames with the same layout.
+// Batched variant: B independent frames with the same layout, fanned
+// out across a host thread pool (work-stealing atomic cursor; each
+// frame's search state is call-local, so workers share nothing).
+// num_threads <= 0 means one worker per hardware thread.
 void ag_find_board_batch(const float* px, const float* py,
                          const float* theta, const uint8_t* alive, int b,
                          int n, float spacing_ratio, int max_seeds,
-                         int early_exit_score, int fast, int32_t* out_quads,
-                         int32_t* out_counts, int cap) {
-  for (int i = 0; i < b; ++i) {
+                         int early_exit_score, int num_threads,
+                         int32_t* out_quads, int32_t* out_counts, int cap) {
+  auto run_one = [&](int i) {
     out_counts[i] =
         ag_find_board(px + (size_t)i * n, py + (size_t)i * n,
                       theta + (size_t)i * n, alive + (size_t)i * n, n,
-                      spacing_ratio, max_seeds, early_exit_score, fast,
+                      spacing_ratio, max_seeds, early_exit_score,
                       out_quads + (size_t)i * cap * 4, cap);
+  };
+  if (num_threads <= 0) {
+    num_threads = (int)std::thread::hardware_concurrency();
+    if (num_threads <= 0) num_threads = 1;
   }
+  num_threads = std::min(num_threads, b);
+  if (num_threads <= 1) {
+    for (int i = 0; i < b; ++i) run_one(i);
+    return;
+  }
+  std::atomic<int> cursor{0};
+  auto worker = [&]() {
+    for (int i; (i = cursor.fetch_add(1, std::memory_order_relaxed)) < b;)
+      run_one(i);
+  };
+  std::vector<std::thread> pool;
+  pool.reserve(num_threads);
+  for (int t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
 }
 
 }  // extern "C"

@@ -3,11 +3,12 @@
 Replaces the XLA label-propagation path (ops/cluster.py + ops/rochade.py)
 whose ~150 whole-image ops dominate device time, and avoids ever
 materializing the Hessian-response plane: the blur plane is swept in
-overlapping 88-row windows with 32-row assignment bands and the response
-is recomputed in-window (the 3x3 stencil is free next to the DMA). A
-saddle response blob is tiny (<=~30 px, SURVEY.md), so each cluster is
-wholly contained in the window whose band holds its top-most (minimum
-linear index) pixel. Per window, entirely in VMEM:
+overlapping ``_WIN``-row (120) windows with ``_BAND``-row (64)
+assignment bands and the response is recomputed in-window (the 3x3
+stencil is free next to the DMA). A saddle response blob is tiny
+(<=~30 px, SURVEY.md), so each cluster is wholly contained in the window
+whose band holds its top-most (minimum linear index) pixel. Per window,
+entirely in VMEM:
 
 1. Hessian response (bit-identical to the frontend kernel's) and the
    threshold mask;
@@ -54,7 +55,8 @@ def _window_start(ti, hp):
 
 
 def _kernel(
-    thr_ref, skip_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots, sem,
+    thr_ref, skip_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots,
+    rem_ref, rm_ref, sem,
     *, h, w, hp2, move_thr,
 ):
     bi = pl.program_id(0)
@@ -99,13 +101,14 @@ def _kernel(
     @pl.when(skip_ref[bi, ti] == 0)
     def _window_body():
         _compute(
-            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, slots,
+            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, slots, rem_ref,
+            rm_ref,
             bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
         )
 
 
 def _compute(
-    thr_ref, out_ref, blur, lab_ref, fbuf, slots,
+    thr_ref, out_ref, blur, lab_ref, fbuf, slots, rem_ref, rm_ref,
     *, bi, ti, row0, h, w, hp2, move_thr,
 ):
     thr = thr_ref[bi, 0]
@@ -193,14 +196,34 @@ def _compute(
         fbuf[j] = stencil(smooth, pinv_np[j].reshape(size, size))
 
     slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, wp), 1)
+    iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
 
-    def pick(fi, lr, onehot):
-        return jnp.sum(fbuf[fi, pl.ds(lr, 1), :] * onehot)
+    def pick(fi, lr8, cb, onehot):
+        # point lookup from one aligned (8, 128) block (dynamic VMEM
+        # loads must be 8/128-aligned; the one-hot selects within it)
+        return jnp.sum(fbuf[fi, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot)
+
+    # Root extraction: pull remaining root labels in ascending order.
+    # The hot trick: `rem` lives in a scratch ref with a per-row minimum
+    # table, so each iteration costs one (1, W) row update + a (WIN, 1)
+    # scan instead of two full-window sweeps (which dominated the kernel
+    # at ~10 us x #clusters when `rem` was a loop-carried array).
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_WIN, 1), 0)
+    # loop-invariant member-scan iotas, hoisted out of the hot loop
+    subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
+    subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
+    subrowf = subrow.astype(jnp.float32)
+    subcolf = subcol.astype(jnp.float32)
+
+    def next_label():
+        rmv = rm_ref[:, :]
+        lbl = jnp.min(rmv)
+        lrow = jnp.min(jnp.where(rmv == lbl, row_iota, jnp.int32(_WIN - 1)))
+        return lbl, lrow
 
     def sbody(state):
-        s, rem = state
-        lbl = jnp.min(rem)
+        s, lbl, lrow = state
         # member scan over a 48-row x 256-lane window around the root
         # (blobs span <= ~30 px; anything touching the scan border that
         # could continue beyond it is dropped below)
@@ -213,21 +236,19 @@ def _compute(
         member = sub == lbl
         memberf = member.astype(jnp.float32)
         cnt = jnp.sum(memberf)
-        subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
-        subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
-        cx = (
-            jnp.sum(memberf * subcol.astype(jnp.float32)) / cnt
-            + cstart.astype(jnp.float32)
+        cx = jnp.sum(memberf * subcolf) / cnt + cstart.astype(jnp.float32)
+        cy = jnp.sum(memberf * subrowf) / cnt + (row0 + lroot).astype(
+            jnp.float32
         )
-        cy = (
-            jnp.sum(memberf * subrow.astype(jnp.float32)) / cnt
-            + (row0 + lroot).astype(jnp.float32)
-        )
-        # drop clusters that may extend beyond the scanned window
+        # drop clusters that may extend beyond the scanned window (one
+        # fused border mask -> one reduction; the gates are scalars)
         last_global = row0 + lroot + _SUB - 1
-        bad = jnp.any(member & (subrow >= _SUB - 2)) & (last_global < h - 1)
-        bad |= jnp.any(member & (subcol == 0)) & (cstart > 0)
-        bad |= jnp.any(member & (subcol == _SUBW - 1)) & (cstart + _SUBW < w)
+        border = (
+            ((subrow >= _SUB - 2) & (last_global < h - 1))
+            | ((subcol == 0) & (cstart > 0))
+            | ((subcol == _SUBW - 1) & (cstart + _SUBW < w))
+        )
+        bad = jnp.any(member & border)
 
         # reference rust_round (coords are non-negative here)
         rx = jnp.floor(cx + 0.5).astype(jnp.int32)
@@ -238,14 +259,19 @@ def _compute(
         lr = jnp.clip(ry - row0, 0, _WIN - 1)
         # ROCHADE support must stay inside the valid stencil interior
         margin_ok = (lr >= 4) & (lr <= _WIN - 5)
-        onehot = (lane_iota == jnp.clip(rx, 0, wp - 1)).astype(jnp.float32)
+        rxc = jnp.clip(rx, 0, wp - 1)
+        cb = pl.multiple_of((rxc // 128) * 128, 128)
+        lr8 = pl.multiple_of(jnp.clip((lr // 8) * 8, 0, _WIN - 8), 8)
+        onehot = (
+            (iota8r == lr - lr8) & (iota128 == rxc - cb)
+        ).astype(jnp.float32)
 
         # scalar ROCHADE math (reference src/detector.rs:330-356)
-        a1 = pick(0, lr, onehot)
-        a2 = pick(1, lr, onehot)
-        a3 = pick(2, lr, onehot)
-        a4 = pick(3, lr, onehot)
-        a5 = pick(4, lr, onehot)
+        a1 = pick(0, lr8, cb, onehot)
+        a2 = pick(1, lr8, cb, onehot)
+        a3 = pick(2, lr8, cb, onehot)
+        a4 = pick(3, lr8, cb, onehot)
+        a5 = pick(4, lr8, cb, onehot)
         d = (2.0 * a1) * (2.0 * a3) - a2 * a2
         safe_d = jnp.where(d == 0, 1.0, d)
         x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
@@ -266,21 +292,36 @@ def _compute(
             & (jnp.abs(y0) <= move_thr)
             & (jnp.abs(c5) < kk)
         )
-        sx = pl.ds(s, 1)
-        slots[sx, 0:1] = (rx.astype(jnp.float32) + x0).reshape(1, 1)
-        slots[sx, 1:2] = (ry.astype(jnp.float32) + y0).reshape(1, 1)
-        slots[sx, 2:3] = kk.reshape(1, 1)
-        slots[sx, 3:4] = theta.reshape(1, 1)
-        slots[sx, 4:5] = phi.reshape(1, 1)
-        slots[sx, 5:6] = jnp.where(ok, 1.0, 0.0).reshape(1, 1)
-        slots[sx, 6:7] = (lbl.astype(jnp.float32) + 1.0).reshape(1, 1)
-        return s + 1, jnp.where(rem == lbl, big, rem)
+        vals = jnp.concatenate(
+            [
+                (rx.astype(jnp.float32) + x0).reshape(1, 1),
+                (ry.astype(jnp.float32) + y0).reshape(1, 1),
+                kk.reshape(1, 1),
+                theta.reshape(1, 1),
+                phi.reshape(1, 1),
+                jnp.where(ok, 1.0, 0.0).reshape(1, 1),
+                (lbl.astype(jnp.float32) + 1.0).reshape(1, 1),
+                jnp.zeros((1, 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        slots[pl.ds(s, 1), :] = vals
+        # clear this label from its row, refresh that row's minimum
+        rowv = rem_ref[pl.ds(lrow, 1), :]
+        roww = jnp.where(rowv == lbl, big, rowv)
+        rem_ref[pl.ds(lrow, 1), :] = roww
+        rm_ref[pl.ds(lrow, 1), :] = jnp.min(roww, axis=1, keepdims=True)
+        nlbl, nlrow = next_label()
+        return s + 1, nlbl, nlrow
 
     rem0 = jnp.where(root, own, big)
+    rem_ref[:, :] = rem0
+    rm_ref[:, :] = jnp.min(rem0, axis=1, keepdims=True)
+    lbl0, lrow0 = next_label()
     lax.while_loop(
-        lambda s: (s[0] < _SLOTS) & (jnp.min(s[1]) < big),
+        lambda st: (st[0] < _SLOTS) & (st[1] < big),
         sbody,
-        (jnp.int32(0), rem0),
+        (jnp.int32(0), lbl0, lrow0),
     )
     out_ref[0, 0] = slots[:, :]
 
@@ -326,6 +367,8 @@ def cluster_rochade(
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((5, _WIN, wp), jnp.float32),
             pltpu.VMEM((_SLOTS, 8), jnp.float32),
+            pltpu.VMEM((_WIN, wp), jnp.int32),
+            pltpu.VMEM((_WIN, 1), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

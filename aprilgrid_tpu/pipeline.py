@@ -109,8 +109,8 @@ def saddle_frontend_batch(
         )
         tmin = jnp.min(tile_min, axis=(2, 3))                 # (B, T64)
         thr = jnp.min(tmin, axis=1) * consts.response_threshold_ratio
-        # per-window skip flags: a 32-row band's 88-row window spans up
-        # to three 64-row frontend tiles; if the response minimum over
+        # per-window skip flags: a _BAND-row band's _WIN-row window spans
+        # up to three 64-row frontend tiles; if the response minimum over
         # all of them is above the threshold the window holds no cluster
         import numpy as _np
 
