@@ -170,6 +170,52 @@ class TagDetector:
         return fn
 
     @functools.cached_property
+    def _decode_packed_fn(self):
+        """Single-upload / single-download decode step for the hybrid
+        runtime. Host<->device round trips through a TPU relay cost
+        ~50 ms latency each regardless of size, so the board-search
+        results travel as ONE int32 array (quads | counts) and the
+        decode results return as ONE f32 array [id, valid, corners x8];
+        corner positions are gathered on device from the already-resident
+        packed saddle array instead of being re-uploaded."""
+        from .ops.decode import decode_quads
+
+        spec, consts = self.spec, self.consts
+
+        @functools.partial(jax.jit, static_argnames=("hw", "dcap"))
+        def fn(packed, luma8, qarr, hw=None, dcap=0):
+            b = qarr.shape[0]
+            quads = qarr[:, : dcap * 4].reshape(b, dcap, 4)
+            counts = qarr[:, dcap * 4]
+            qv = jnp.arange(dcap)[None, :] < counts[:, None]
+
+            def one(pk, l8, q, v):
+                qp = pk[jnp.maximum(q, 0), 0:2]  # (dcap, 4, 2)
+                d = decode_quads(
+                    l8,
+                    qp,
+                    v,
+                    spec,
+                    consts.decode_margin,
+                    consts.valid_brightness_threshold,
+                    consts.max_invalid_bit,
+                    consts.min_contrast,
+                    true_shape=hw,
+                )
+                return jnp.concatenate(
+                    [
+                        d.ids.astype(jnp.float32)[:, None],
+                        d.valid.astype(jnp.float32)[:, None],
+                        d.corners.reshape(-1, 8),
+                    ],
+                    axis=1,
+                )
+
+            return jax.vmap(one)(packed, luma8, quads, qv)
+
+        return fn
+
+    @functools.cached_property
     def _decode_batch_fn(self):
         from .ops.decode import decode_quads
 
@@ -266,29 +312,28 @@ class TagDetector:
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
-            quads = quads[:, :dcap]
-            nb = st["sp"].shape[0]
-            quad_valid = np.arange(dcap)[None, :] < counts[:, None]
-            quad_pos = np.take_along_axis(
-                st["sp"], np.maximum(quads, 0).reshape(nb, -1, 1), axis=1
-            ).reshape(nb, dcap, 4, 2)
-            dec = self._decode_batch_fn(
-                fronts[ci][1],
-                jnp.asarray(quad_pos),
-                jnp.asarray(quad_valid),
-                hw=hw,
+            quads = np.ascontiguousarray(quads[:, :dcap])
+            nb = quads.shape[0]
+            # one upload: [quads | count] int32 per frame
+            qarr = np.concatenate(
+                [quads.reshape(nb, dcap * 4), counts[:, None]], axis=1
+            ).astype(np.int32)
+            dec = self._decode_packed_fn(
+                fronts[ci][0], fronts[ci][1], jnp.asarray(qarr),
+                hw=hw, dcap=dcap,
             )
             return quads, dec
 
         def collect(ci, quads, dec):
             lo, _hi = bounds[ci]
             st = state[ci]
-            dec = jax.tree.map(np.asarray, dec)  # sync this chunk's decode
-            fi, fj = np.nonzero(dec.valid)
-            ids = dec.ids[fi, fj]
-            corners = dec.corners[fi, fj].tolist()  # (K, 4, 2) floats
+            arr = np.asarray(dec)  # one download: (b, dcap, 10)
+            valid = arr[..., 1] > 0.5
+            fi, fj = np.nonzero(valid)
+            ids = arr[fi, fj, 0].astype(np.int64)
+            corners = arr[fi, fj, 2:].reshape(-1, 4, 2).tolist()
             for i, tag_id, cs in zip(fi.tolist(), ids.tolist(), corners):
-                results[lo + i][tag_id] = [tuple(c) for c in cs]
+                results[lo + i][int(tag_id)] = [tuple(c) for c in cs]
             # successfully decoded quads release their saddles
             # (src/detector.rs:517-536)
             used_i = np.repeat(fi, 4)

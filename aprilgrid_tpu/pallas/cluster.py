@@ -40,12 +40,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.rochade import Saddles, _constants
-from . import mathx
 
 _BAND = 64      # rows assigned per tile
 _WIN = 120      # window rows (band + tall-cluster headroom + margins)
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
-_SLOTS = 512    # max clusters extracted per tile
+_CAPF = 1024    # accepted-candidate capacity PER FRAME (append-compacted)
+_MAX_ROOTS = 8192  # per-window extraction guard (pathological scenes)
 _SUB = 48       # member-scan row window per cluster (>= max blob height)
 _SUBW = 256     # member-scan lane window per cluster (>= max blob width)
 
@@ -55,9 +55,9 @@ def _window_start(ti, hp):
 
 
 def _kernel(
-    thr_ref, skip_ref, blur_hbm, out_ref, blur_w, lab_ref, fbuf, slots,
-    rem_ref, rm_ref, sem,
-    *, h, w, hp2, move_thr,
+    thr_ref, skip_ref, blur_hbm, out_ref, cnt_ref, blur_w, lab_ref, fbuf,
+    rem_ref, rm2_ref, rm3_ref, cur_ref, sem,
+    *, h, w, hp2, move_thr, capf,
 ):
     bi = pl.program_id(0)
     ti = pl.program_id(1)
@@ -94,22 +94,36 @@ def _kernel(
         blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w.at[slot], sem.at[slot]
     ).wait()
 
-    out_ref[0, 0] = jnp.zeros(out_ref.shape[2:], jnp.float32)
+    # the output block is revisited by every tile of the frame: clear it
+    # and the append cursor once, at the frame's first tile
+    @pl.when(ti == 0)
+    def _():
+        out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
+        cur_ref[0] = jnp.int32(0)
 
     # windows whose response minimum is above the threshold hold no
     # clusters — skip all compute (the DMA chain above stays in lockstep)
     @pl.when(skip_ref[bi, ti] == 0)
     def _window_body():
         _compute(
-            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, slots, rem_ref,
-            rm_ref,
+            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, rem_ref,
+            rm2_ref, rm3_ref, cur_ref,
             bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
+            capf=capf,
+        )
+
+    # per-frame accepted count (capf saturated => possible overflow)
+    @pl.when(ti == nt - 1)
+    def _():
+        cnt_ref[0] = jnp.full(
+            cnt_ref.shape[1:], cur_ref[0].astype(jnp.float32), jnp.float32
         )
 
 
 def _compute(
-    thr_ref, out_ref, blur, lab_ref, fbuf, slots, rem_ref, rm_ref,
-    *, bi, ti, row0, h, w, hp2, move_thr,
+    thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
+    cur_ref,
+    *, bi, ti, row0, h, w, hp2, move_thr, capf,
 ):
     thr = thr_ref[bi, 0]
     wp = blur.shape[1]
@@ -195,9 +209,11 @@ def _compute(
     for j in range(5):
         fbuf[j] = stencil(smooth, pinv_np[j].reshape(size, size))
 
-    slots[:, :] = jnp.zeros((_SLOTS, 8), jnp.float32)
     iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+    nblk = wp // 128
+    blk_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, nblk), 1)
+    blk_iota1 = jax.lax.broadcasted_iota(jnp.int32, (1, nblk), 1)
 
     def pick(fi, lr8, cb, onehot):
         # point lookup from one aligned (8, 128) block (dynamic VMEM
@@ -205,25 +221,24 @@ def _compute(
         return jnp.sum(fbuf[fi, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot)
 
     # Root extraction: pull remaining root labels in ascending order.
-    # The hot trick: `rem` lives in a scratch ref with a per-row minimum
-    # table, so each iteration costs one (1, W) row update + a (WIN, 1)
-    # scan instead of two full-window sweeps (which dominated the kernel
-    # at ~10 us x #clusters when `rem` was a loop-carried array).
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (_WIN, 1), 0)
+    # `rem` (the yet-unextracted root labels) lives in a scratch ref
+    # under a two-level minimum pyramid — rm2 = min per (row, 128-lane
+    # block), rm3 = min per (8-row group, block) — so each iteration
+    # touches one (8, 128) region plus two tiny table rows instead of
+    # sweeping the window (which dominated the kernel at ~10 us x
+    # #clusters when `rem` was a loop-carried array).
     # loop-invariant member-scan iotas, hoisted out of the hot loop
     subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
     subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
     subrowf = subrow.astype(jnp.float32)
     subcolf = subcol.astype(jnp.float32)
 
-    def next_label():
-        rmv = rm_ref[:, :]
-        lbl = jnp.min(rmv)
-        lrow = jnp.min(jnp.where(rmv == lbl, row_iota, jnp.int32(_WIN - 1)))
-        return lbl, lrow
-
     def sbody(state):
-        s, lbl, lrow = state
+        s, lbl = state
+        # the label IS the root's linear index: its region is derivable
+        lrow = jnp.clip(lbl // w - row0, 0, _WIN - 1)
+        g = lrow // 8
+        bb = (lbl % w) // 128
         # member scan over a 48-row x 256-lane window around the root
         # (blobs span <= ~30 px; anything touching the scan border that
         # could continue beyond it is dropped below)
@@ -280,9 +295,6 @@ def _compute(
         c4 = (a1 - a3) / 2.0
         c3 = a2 / 2.0
         kk = jnp.sqrt(c4 * c4 + c3 * c3)
-        safe_kk = jnp.where(kk == 0, 1.0, kk)
-        phi = jnp.degrees(mathx.acos(-c5 / safe_kk) / 2.0)
-        theta = jnp.degrees(mathx.atan2(c3, c4) / 2.0)
         ok = (
             in_b
             & ~bad
@@ -292,38 +304,66 @@ def _compute(
             & (jnp.abs(y0) <= move_thr)
             & (jnp.abs(c5) < kk)
         )
+        # append accepted candidates only (rejected ones are ignored by
+        # every consumer, so compacting here keeps the per-frame buffer
+        # small and removes the old per-window slot cliff). The write is
+        # unconditional — branchless: a rejected candidate lands at the
+        # stationary cursor with ok=0 and is overwritten by the next
+        # accepted one (anything left past the final count is filtered
+        # by its ok column downstream).
+        cur = cur_ref[0]
+        app = ok & (cur < capf)
+        # angles (theta/phi via atan2/acos) are NOT computed here: the
+        # few-thousand compacted rows get them in one cheap XLA pass
+        # (saddles_from_candidates) instead of per loop iteration
         vals = jnp.concatenate(
             [
                 (rx.astype(jnp.float32) + x0).reshape(1, 1),
                 (ry.astype(jnp.float32) + y0).reshape(1, 1),
                 kk.reshape(1, 1),
-                theta.reshape(1, 1),
-                phi.reshape(1, 1),
+                c3.reshape(1, 1),
+                c4.reshape(1, 1),
+                c5.reshape(1, 1),
                 jnp.where(ok, 1.0, 0.0).reshape(1, 1),
                 (lbl.astype(jnp.float32) + 1.0).reshape(1, 1),
-                jnp.zeros((1, 1), jnp.float32),
             ],
             axis=1,
         )
-        slots[pl.ds(s, 1), :] = vals
-        # clear this label from its row, refresh that row's minimum
-        rowv = rem_ref[pl.ds(lrow, 1), :]
-        roww = jnp.where(rowv == lbl, big, rowv)
-        rem_ref[pl.ds(lrow, 1), :] = roww
-        rm_ref[pl.ds(lrow, 1), :] = jnp.min(roww, axis=1, keepdims=True)
-        nlbl, nlrow = next_label()
-        return s + 1, nlbl, nlrow
+        out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals
+        cur_ref[0] = cur + app.astype(jnp.int32)
+
+        # clear this label from its (8, 128) region; refresh the pyramid
+        g8 = pl.multiple_of(g * 8, 8)
+        c128 = pl.multiple_of(bb * 128, 128)
+        reg = rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)]
+        reg = jnp.where(reg == lbl, big, reg)
+        rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)] = reg
+        rowmins = jnp.min(reg, axis=1, keepdims=True)          # (8, 1)
+        r2 = rm2_ref[pl.ds(g8, 8), :]
+        rm2_ref[pl.ds(g8, 8), :] = jnp.where(blk_iota8 == bb, rowmins, r2)
+        m8 = jnp.min(rowmins)
+        r3 = rm3_ref[pl.ds(g, 1), :]
+        rm3_ref[pl.ds(g, 1), :] = jnp.where(
+            blk_iota1 == bb, m8.reshape(1, 1), r3
+        )
+        return s + 1, jnp.min(rm3_ref[:, :])
 
     rem0 = jnp.where(root, own, big)
     rem_ref[:, :] = rem0
-    rm_ref[:, :] = jnp.min(rem0, axis=1, keepdims=True)
-    lbl0, lrow0 = next_label()
+    for b in range(nblk):
+        rm2_ref[:, b : b + 1] = jnp.min(
+            rem0[:, 128 * b : 128 * (b + 1)], axis=1, keepdims=True
+        )
+    rm2v = rm2_ref[:, :]
+    for g in range(_WIN // 8):
+        rm3_ref[g : g + 1, :] = jnp.min(
+            rm2v[8 * g : 8 * (g + 1), :], axis=0, keepdims=True
+        )
     lax.while_loop(
-        lambda st: (st[0] < _SLOTS) & (st[1] < big),
+        lambda st: (st[0] < _MAX_ROOTS) & (st[1] < big),
         sbody,
-        (jnp.int32(0), lbl0, lrow0),
+        (jnp.int32(0), jnp.min(rm3_ref[:, :])),
     )
-    out_ref[0, 0] = slots[:, :]
 
 
 @functools.partial(
@@ -338,37 +378,53 @@ def cluster_rochade(
     hp2: int = 4,
     move_thr: float = 1.0,
     interpret: bool = False,
+    capf: int = _CAPF,
 ):
-    """Candidate saddles for every response cluster, in cluster order.
+    """Accepted candidate saddles, append-compacted per frame in cluster
+    (ascending-label) order.
 
-    Returns fields (B, T*S, 8) f32: [x, y, k, theta, phi, ok, label+1, _].
+    Returns (fields (B, capf, 8) f32: [x, y, k, theta, phi, 1, label+1, _],
+    counts (B,) f32: number appended — == capf signals possible overflow).
     """
     b, hp, wp = blur.shape
     assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
     assert wp % 128 == 0
     tiles = -(-h // _BAND)
     assert skip.shape == (b, tiles)
+    nblk = wp // 128
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr),
+    fields, counts = pl.pallas_call(
+        functools.partial(
+            _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf
+        ),
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, _SLOTS, 8), lambda bi, ti: (bi, ti, 0, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, capf, 8), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, tiles, _SLOTS, 8), jnp.float32),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, capf, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((2, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((5, _WIN, wp), jnp.float32),
-            pltpu.VMEM((_SLOTS, 8), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
-            pltpu.VMEM((_WIN, 1), jnp.int32),
+            pltpu.VMEM((_WIN, nblk), jnp.int32),
+            pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -376,20 +432,28 @@ def cluster_rochade(
         ),
         interpret=interpret,
     )(thr.reshape(b, 1), skip.astype(jnp.int32), blur)
-    return out.reshape(b, tiles * _SLOTS, 8)
+    return fields, counts[:, 0, 0]
 
 
 def saddles_from_candidates(fields: jnp.ndarray) -> Saddles:
     """Per-frame candidate array -> Saddles SoA (pre k/phi gates).
 
-    Slot order is (tile, ascending label) = global ascending label =
-    the reference's scan-order cluster enumeration.
+    Append order is (tile, ascending label) = global ascending label =
+    the reference's scan-order cluster enumeration (compaction keeps the
+    accepted subsequence in the same relative order). The kernel stores
+    the raw quadric coefficients (c3, c4, c5); the angles (reference
+    src/detector.rs:344-353) are derived here, once per compacted row.
     """
-    valid = (fields[:, 6] > 0.5) & (fields[:, 5] > 0.5)
+    valid = (fields[:, 7] > 0.5) & (fields[:, 6] > 0.5)
+    k = fields[:, 2]
+    c3, c4, c5 = fields[:, 3], fields[:, 4], fields[:, 5]
+    safe_k = jnp.where(k == 0, 1.0, k)
+    theta = jnp.degrees(jnp.arctan2(c3, c4) / 2.0)
+    phi = jnp.degrees(jnp.arccos(jnp.clip(-c5 / safe_k, -1.0, 1.0)) / 2.0)
     return Saddles(
         p=fields[:, 0:2],
-        k=fields[:, 2],
-        theta=fields[:, 3],
-        phi=fields[:, 4],
+        k=k,
+        theta=theta,
+        phi=phi,
         valid=valid,
     )

@@ -126,7 +126,7 @@ def saddle_frontend_batch(
             cover[ti] = [lo, min(lo + 1, hi), hi]
         win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, Tc)
         skip = (win_min >= thr[:, None]).astype(jnp.int32)
-        fields = cluster_rochade(
+        fields, _counts = cluster_rochade(
             blur_p,
             thr,
             skip,

@@ -68,7 +68,10 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
 
     tiles = -(-h // _BAND)
     skip = jnp.zeros((1, tiles), jnp.int32)
-    fields = cluster_rochade(blur_p, thr, skip, h, w, 4, 1.0, interpret=True)
+    fields, counts = cluster_rochade(
+        blur_p, thr, skip, h, w, 4, 1.0, interpret=True
+    )
+    assert float(counts[0]) < fields.shape[1]  # no overflow on EuRoC
     raw = jax.vmap(saddles_from_candidates)(fields)
     s = jax.vmap(lambda x: filter_and_compact(x, 768, 0.1, 30.0, 60.0))(raw)
     got = np.asarray(s.p[0])[np.asarray(s.valid[0])]
