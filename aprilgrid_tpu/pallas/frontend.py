@@ -159,6 +159,184 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
     return lumaf, luma8
 
 
+def _front_kernel(
+    mats_ref, raw_hbm, blur_ref, luma8_ref, min_ref, slab, lscr, sem,
+    *, taps, tile_h, w, w_pad, h, channels, u16,
+):
+    """Fused raw->(blur, luma8, tile_min) kernel: gray conversion, 7-tap
+    separable blur and the Hessian-response tile minimum in ONE pass over
+    the raw frames — the f32 luma plane never exists in HBM (saves a full
+    plane write + read vs the split gray_kernel/fused_frontend pair).
+
+    The raw input arrives padded with 8 edge-replicated rows on top and
+    >= 8 below (plus lane alignment), so every tile's DMA window
+    [i*tile_h, i*tile_h + tile_h + 16) is in range and the clamped-border
+    blur semantics (reference src/image_util.rs:144-183) fall out of the
+    padding. Double-buffered DMA hides the raw fetch under compute.
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    rows = tile_h + 16
+    radius = (len(taps) - 1) // 2
+
+    slot = (bi * nt + i) % 2
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _():
+        pltpu.make_async_copy(
+            raw_hbm.at[0, pl.ds(0, rows), :], slab.at[0], sem.at[0]
+        ).start()
+
+    last_t = i == nt - 1
+    nbi = jnp.where(last_t, bi + 1, bi)
+    nti = jnp.where(last_t, 0, i + 1)
+
+    @pl.when(nbi < nb)
+    def _():
+        pltpu.make_async_copy(
+            raw_hbm.at[nbi, pl.ds(nti * tile_h, rows), :],
+            slab.at[1 - slot],
+            sem.at[1 - slot],
+        ).start()
+
+    pltpu.make_async_copy(
+        raw_hbm.at[bi, pl.ds(i * tile_h, rows), :], slab.at[slot], sem.at[slot]
+    ).wait()
+
+    x = slab[slot].astype(jnp.int32).astype(jnp.float32)
+    if channels == 3:
+        lf_chunks = []
+        l8_chunks = []
+        col = 0
+        while col < w_pad:
+            cw = min(128, w_pad - col)
+            mf = mats_ref[0 : 3 * cw, 0:cw]
+            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+            xs = x[:, 3 * col : 3 * (col + cw)]
+            lf_chunks.append(jnp.dot(xs, mf, preferred_element_type=jnp.float32))
+            l8_chunks.append(jnp.dot(xs, mi, preferred_element_type=jnp.float32))
+            col += cw
+        lf = jnp.concatenate(lf_chunks, axis=1)
+        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+    elif u16:
+        lf = x / 65535.0
+        l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
+    else:
+        lf = x / 255.0
+        l8 = x
+
+    # stage luma in a lane-guarded scratch so the horizontal rolls next
+    # never wrap valid data into view; guards replicate the edge columns
+    # (clamped-border semantics; right guard also covers w..w_pad pad)
+    lscr[:, 128 : 128 + w_pad] = lf
+    lscr[:, 0:128] = jnp.repeat(lf[:, 0:1], 128, axis=1)
+    lscr[:, 128 + w_pad : 256 + w_pad] = jnp.repeat(
+        lf[:, w - 1 : w], 128, axis=1
+    )
+
+    y = lscr[:, :]
+    temp = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        temp = temp + _roll(y, radius - k, 1) * kw
+    blur = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        blur = blur + _roll(temp, radius - k, 0) * kw
+
+    left = _roll(blur, 1, 1)
+    right = _roll(blur, -1, 1)
+    up = _roll(blur, 1, 0)
+    down = _roll(blur, -1, 0)
+    ul = _roll(up, 1, 1)
+    ur = _roll(up, -1, 1)
+    dl = _roll(down, 1, 1)
+    dr = _roll(down, -1, 1)
+    lxx = left - 2.0 * blur + right
+    lyy = up - 2.0 * blur + down
+    lxy = (ur - ul + dl - dr) * 0.25
+    resp = lxx * lyy - lxy * lxy
+
+    grow = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
+    border = (grow == 0) | (grow >= h - 1) | (gcol == 0) | (gcol >= w - 1)
+    center = (slice(8, 8 + tile_h), slice(128, 128 + w_pad))
+    blur_ref[0, :, :] = blur[center]
+    luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
+        jnp.uint8
+    )
+    resp_center = jnp.where(border, 0.0, resp[center])
+    min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
+def front_kernel(
+    img: jnp.ndarray, sigma: float = 1.5, interpret: bool = False
+):
+    """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
+    luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
+    fused; outputs are edge-padded to 64-row / 128-lane multiples
+    (response zero in padding) for the cluster kernel."""
+    b, hgt, wid = img.shape[:3]
+    channels = img.shape[3] if img.ndim == 4 else 1
+    u16 = img.dtype == jnp.uint16
+    taps = tuple(float(v) for v in gaussian_kernel(sigma))
+    assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
+    tile_h = 64
+    h_pad = -(-hgt // tile_h) * tile_h
+    w_pad = -(-wid // 128) * 128
+    # 8 edge rows above and >= 8 below so every DMA window is in range
+    # and vertical clamping falls out of the padding
+    pad_spec = ((0, 0), (8, 8 + h_pad - hgt), (0, w_pad - wid)) + (
+        (0, 0),
+    ) * (img.ndim - 3)
+    img = jnp.pad(img, pad_spec, mode="edge")
+    if img.ndim == 4:
+        img = img.reshape(b, h_pad + 16, w_pad * channels)
+
+    mf, mi = _deinterleave_chunk(128)
+    mats = jnp.asarray(np.concatenate([mf, mi], axis=1))
+
+    grid = (b, h_pad // tile_h)
+    blur_p, luma8, tile_min = pl.pallas_call(
+        functools.partial(
+            _front_kernel, taps=taps, tile_h=tile_h, w=wid, w_pad=w_pad,
+            h=hgt, channels=channels, u16=u16,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h_pad // tile_h, 8, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 16, w_pad * channels), img.dtype),
+            pltpu.VMEM((tile_h + 16, w_pad + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(mats, img)
+    return blur_p, luma8, tile_min
+
+
 def _kernel(refs, *, taps, tile_h, w_pad, h, w, emit_resp):
     if emit_resp:
         luma_hbm, blur_ref, resp_ref, min_ref, slab, sem = refs

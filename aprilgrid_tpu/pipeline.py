@@ -94,19 +94,15 @@ def saddle_frontend_batch(
     h, w = imgs.shape[1], imgs.shape[2]
     if use_pallas and h >= 84:
         from .pallas.cluster import cluster_rochade, saddles_from_candidates
-        from .pallas.frontend import fused_frontend, gray_kernel
+        from .pallas.frontend import front_kernel
 
         if imgs.ndim == 4 and imgs.shape[3] == 4:
             imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
 
-        # fully fused Pallas path: raw frames -> padded luma planes ->
-        # blur/response/tile-min -> clusters+ROCHADE; luma8 stays padded
-        # (decode gates on the true size)
-        luma_f, luma_u8 = gray_kernel(imgs)
-        blur_p, tile_min = fused_frontend(
-            luma_f, consts.blur_sigma, crop=False, true_shape=(h, w),
-            emit_resp=False,
-        )
+        # fully fused Pallas path: raw frames -> blur/luma8/tile-min in
+        # ONE kernel (the f32 luma plane never hits HBM) -> clusters +
+        # ROCHADE; luma8 stays padded (decode gates on the true size)
+        blur_p, luma_u8, tile_min = front_kernel(imgs, consts.blur_sigma)
         tmin = jnp.min(tile_min, axis=(2, 3))                 # (B, T64)
         thr = jnp.min(tmin, axis=1) * consts.response_threshold_ratio
         # per-window skip flags: a _BAND-row band's _WIN-row window spans

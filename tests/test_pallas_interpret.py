@@ -34,6 +34,37 @@ def test_gray_kernel_matches_image_crate(euroc, data_dir):
         )
 
 
+def test_front_kernel_matches_split_kernels(euroc, data_dir):
+    """Fused raw->blur kernel == gray_kernel + fused_frontend, bit-exact."""
+    from aprilgrid_tpu.pallas.frontend import (
+        front_kernel,
+        fused_frontend,
+        gray_kernel,
+    )
+
+    for name in ("EuRoC", "two_boards", "TUM_VI"):
+        img = R.load_image(str(data_dir / f"{name}.png"))
+        h, w = img.shape[:2]
+        raw = jnp.asarray(img)[None]
+        blur_p, l8, tmin = front_kernel(raw, 1.5, interpret=True)
+        lf_ref, l8_ref = gray_kernel(raw, interpret=True)
+        blur_ref, tmin_ref = fused_frontend(
+            lf_ref, 1.5, interpret=True, crop=False, true_shape=(h, w),
+            emit_resp=False,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(l8)[0, :h, :w], np.asarray(l8_ref)[0, :h, :w]
+        )
+        np.testing.assert_allclose(
+            np.asarray(blur_p)[0, :h, :w],
+            np.asarray(blur_ref)[0, :h, :w],
+            atol=1e-7,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tmin), np.asarray(tmin_ref), atol=1e-9
+        )
+
+
 def test_fused_frontend_matches_xla(euroc):
     from aprilgrid_tpu.ops.frontend import gaussian_blur, hessian_response
     from aprilgrid_tpu.pallas.frontend import fused_frontend
