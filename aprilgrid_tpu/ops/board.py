@@ -210,11 +210,16 @@ def grow_board(
     def sweep(state):
         cell_quad, placed, failed, active, _, it = state
 
-        # frontier attempts: placed cell x direction with unplaced target,
-        # in cell-major / direction-minor priority order
+        # frontier attempts: placed cell x direction with an untried
+        # target, in cell-major / direction-minor priority order. Cells
+        # that already failed are excluded — the reference marks them
+        # None and never retries (src/board.rs:148); this also keeps
+        # permanently-failing attempts from monopolizing the
+        # max_attempts selection window on dense frontiers.
         tgt_all = tgt_map.reshape(-1)  # (G2*4,)
+        tgt_safe = jnp.minimum(tgt_map, g2 - 1)
         attempt_all = (
-            placed[:, None] & tgt_ok & ~placed[jnp.minimum(tgt_map, g2 - 1)]
+            placed[:, None] & tgt_ok & ~placed[tgt_safe] & ~failed[tgt_safe]
         ).reshape(-1)
         total = attempt_all.shape[0]
         (sel,) = jnp.nonzero(attempt_all, size=max_attempts, fill_value=total)
@@ -252,8 +257,13 @@ def grow_board(
         active = active.at[used.reshape(-1)].set(False, mode="drop")
         # failure marks (reference inserts None, src/board.rs:148)
         fail_t = jnp.where(live & ~valid, tgt, g2)
-        failed = failed.at[fail_t].set(True, mode="drop")
-        return cell_quad, placed, failed, active, accept.any(), it + 1
+        new_failed = failed.at[fail_t].set(True, mode="drop")
+        # keep sweeping while anything happened: a placement, OR a fresh
+        # failure mark (which unclogs the attempt window when the
+        # frontier exceeded max_attempts — truncation is then a deferral,
+        # not a silent drop)
+        progressed = accept.any() | (new_failed != failed).any()
+        return cell_quad, placed, new_failed, active, progressed, it + 1
 
     def cond(state):
         return state[4] & (state[5] < max_sweeps)

@@ -110,7 +110,18 @@ def find_best_board(
             )
         )(b_q, b_ok)
         scores = jnp.where(b_ok, boards.score, 0)
-        j = jnp.argmax(scores)  # first max = reference first-strictly-best
+        # The reference checks the early-exit score after each SEED's
+        # candidate loop: once a seed's best board reaches it, later
+        # seeds never displace the winner. With seeds_per_group > 1 the
+        # group must honor that boundary — restrict the argmax to
+        # candidates up to (and including) the first seed whose running
+        # best crosses the threshold (src/detector.rs:622-630).
+        seed_of = jnp.minimum(sel, total - 1) // max_quads
+        cmax = lax.associative_scan(jnp.maximum, scores)
+        reached = cmax >= early_exit_score
+        s_star = seed_of[jnp.argmax(reached)]
+        in_cut = jnp.where(reached.any(), seed_of <= s_star, True)
+        j = jnp.argmax(jnp.where(in_cut, scores, -1))  # first max in cut
         cand = jax.tree.map(lambda x: x[j], boards)
         take = scores[j] > best.score
         best = jax.tree.map(

@@ -100,6 +100,7 @@ def _kernel(
     def _():
         out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
         cur_ref[0] = jnp.int32(0)
+        cur_ref[1] = jnp.int32(0)
 
     # windows whose response minimum is above the threshold hold no
     # clusters — skip all compute (the DMA chain above stays in lockstep)
@@ -112,12 +113,16 @@ def _kernel(
             capf=capf,
         )
 
-    # per-frame accepted count (capf saturated => possible overflow)
+    # per-frame counters: [0] accepted (== capf => possible overflow),
+    # [1] clusters dropped because they touched the member-scan window
+    # border (the data-dependent blob-size cap — surfaced, not silent)
     @pl.when(ti == nt - 1)
     def _():
-        cnt_ref[0] = jnp.full(
-            cnt_ref.shape[1:], cur_ref[0].astype(jnp.float32), jnp.float32
-        )
+        base = jnp.zeros(cnt_ref.shape[1:], jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, cnt_ref.shape[1:], 1)
+        base = jnp.where(lane == 0, cur_ref[0].astype(jnp.float32), base)
+        base = jnp.where(lane == 1, cur_ref[1].astype(jnp.float32), base)
+        cnt_ref[0] = base
 
 
 def _compute(
@@ -331,6 +336,7 @@ def _compute(
         )
         out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals
         cur_ref[0] = cur + app.astype(jnp.int32)
+        cur_ref[1] = cur_ref[1] + bad.astype(jnp.int32)
 
         # clear this label from its (8, 128) region; refresh the pyramid
         g8 = pl.multiple_of(g * 8, 8)
@@ -383,8 +389,10 @@ def cluster_rochade(
     """Accepted candidate saddles, append-compacted per frame in cluster
     (ascending-label) order.
 
-    Returns (fields (B, capf, 8) f32: [x, y, k, theta, phi, 1, label+1, _],
-    counts (B,) f32: number appended — == capf signals possible overflow).
+    Returns (fields (B, capf, 8) f32: [x, y, k, c3, c4, c5, ok, label+1],
+    counters (B, 2) f32: [#appended (== capf signals possible overflow),
+    #clusters dropped at the member-scan window border — the
+    data-dependent blob-size cap, surfaced instead of silent]).
     """
     b, hp, wp = blur.shape
     assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
@@ -424,7 +432,7 @@ def cluster_rochade(
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((_WIN, nblk), jnp.int32),
             pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -432,7 +440,7 @@ def cluster_rochade(
         ),
         interpret=interpret,
     )(thr.reshape(b, 1), skip.astype(jnp.int32), blur)
-    return fields, counts[:, 0, 0]
+    return fields, counts[:, 0, 0:2]
 
 
 def saddles_from_candidates(fields: jnp.ndarray) -> Saddles:

@@ -102,7 +102,8 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
     fields, counts = cluster_rochade(
         blur_p, thr, skip, h, w, 4, 1.0, interpret=True
     )
-    assert float(counts[0]) < fields.shape[1]  # no overflow on EuRoC
+    assert float(counts[0, 0]) < fields.shape[1]  # no overflow on EuRoC
+    assert float(counts[0, 1]) == 0  # no blob-size drops on EuRoC
     raw = jax.vmap(saddles_from_candidates)(fields)
     s = jax.vmap(lambda x: filter_and_compact(x, 768, 0.1, 30.0, 60.0))(raw)
     got = np.asarray(s.p[0])[np.asarray(s.valid[0])]
@@ -112,6 +113,30 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
     ref_p = np.array(sorted(tuple(x.p) for x in ref))
     got_p = np.array(sorted(map(tuple, got)))
     np.testing.assert_allclose(got_p, ref_p, atol=1e-3)
+
+
+def test_cluster_blob_size_cap_is_signaled_not_silent():
+    """A response blob taller than the member-scan window is dropped by
+    design (the reference has no such cap) — but the drop must be
+    SURFACED via the per-frame drop counter, never silent."""
+    from aprilgrid_tpu.pallas.cluster import _SUB, cluster_rochade
+
+    h, w = 256, 256
+    # blur = r*c has lxy = 1, lxx = lyy = 0 => response = -1 at every
+    # interior pixel: one giant connected blob spanning every window
+    r = np.arange(h, dtype=np.float32)[:, None]
+    c = np.arange(w, dtype=np.float32)[None, :]
+    blur = (r * c)[None]
+    assert h > _SUB  # the blob is guaranteed to cross the scan border
+    thr = jnp.asarray([-0.05], jnp.float32)
+    tiles = -(-h // 64)
+    skip = jnp.zeros((1, tiles), jnp.int32)
+    fields, counts = cluster_rochade(
+        jnp.asarray(blur), thr, skip, h, w, 4, 1.0, interpret=True
+    )
+    assert float(counts[0, 1]) >= 1, "oversized blob drop must be counted"
+    # and nothing bogus was accepted from it
+    assert float(counts[0, 0]) == 0
 
 
 def test_mathx_accuracy():
