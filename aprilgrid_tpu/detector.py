@@ -263,7 +263,7 @@ class TagDetector:
         ]
 
     def _detect_hybrid(
-        self, imgs: np.ndarray, chunk: int = 64
+        self, imgs: np.ndarray, chunk: int = 128
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Hybrid runtime (see native/search.cpp): TPU dense front-end,
         native C++ board search on the tiny saddle arrays, TPU decode.

@@ -37,7 +37,11 @@ def main() -> int:
     from aprilgrid_tpu.detector import TagDetector
     from aprilgrid_tpu.oracle.numpy_ref import load_image
 
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    # BENCH_MODE=xla benchmarks the whole-pipeline-in-one-jit mode (the
+    # multi-chip shardable path); default is the hybrid flagship
+    mode = os.environ.get("BENCH_MODE", "hybrid")
+    default_batch = "128" if mode == "hybrid" else "16"
+    batch = int(os.environ.get("BENCH_BATCH", default_batch))
     reps = int(os.environ.get("BENCH_REPS", "5"))
 
     import jax.numpy as jnp
@@ -47,7 +51,7 @@ def main() -> int:
     # host->device feed is pipelined/overlapped in production ingest
     imgs = jnp.asarray(np.ascontiguousarray(np.broadcast_to(img, (batch,) + img.shape)))
 
-    det = TagDetector("t36h11")
+    det = TagDetector("t36h11", mode=mode)
 
     # warm up + correctness gate
     out = det.detect_batch(imgs)
@@ -66,7 +70,7 @@ def main() -> int:
     print(
         json.dumps(
             {
-                "metric": "detect() throughput, 1080p RGB (two_boards, 72 tags)",
+                "metric": f"detect() throughput, 1080p RGB (two_boards, 72 tags, {mode} mode)",
                 "value": round(fps, 2),
                 "unit": "fps/chip",
                 "vs_baseline": round(fps / target, 4),

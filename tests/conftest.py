@@ -37,3 +37,33 @@ GOLDEN_COUNTS = {
 @pytest.fixture(scope="session")
 def data_dir() -> Path:
     return DATA_DIR
+
+
+def make_stress_scene(seed: int):
+    """Randomized synthetic chart scene (rotation/scale/offset/noise);
+    shared by the stress-parity and xla-mode suites."""
+    import numpy as np
+    from PIL import Image
+
+    from aprilgrid_tpu.boards.generator import AprilGridBoard, render_png
+
+    rng = np.random.default_rng(seed)
+    board = AprilGridBoard(
+        size_x=4, size_y=4, tag_family="t36h11",
+        page_width_meter=0.5, page_height_meter=0.5,
+    )
+    chart = render_png(board, pixels_per_mm=1.0)
+    im = Image.fromarray(chart)
+    angle = float(rng.uniform(-40, 40))
+    scale = float(rng.uniform(0.6, 0.9))
+    im = im.rotate(angle, resample=Image.BILINEAR, expand=True, fillcolor=160)
+    im = im.resize(
+        (int(im.width * scale), int(im.height * scale)), Image.BILINEAR
+    )
+    canvas = np.full((820, 820), 160, np.uint8)
+    arr = np.asarray(im)
+    oy = int(rng.integers(0, 820 - arr.shape[0]))
+    ox = int(rng.integers(0, 820 - arr.shape[1]))
+    canvas[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
+    noise = rng.normal(0, 3, canvas.shape)
+    return np.clip(canvas.astype(np.float32) + noise, 0, 255).astype(np.uint8)

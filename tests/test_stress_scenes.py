@@ -11,34 +11,9 @@ whenever the set matches.
 import numpy as np
 import pytest
 
-from aprilgrid_tpu.boards.generator import AprilGridBoard, render_png
+from conftest import make_stress_scene as _scene
 from aprilgrid_tpu.detector import TagDetector
 from aprilgrid_tpu.oracle.numpy_ref import TagDetector as Oracle
-
-
-def _scene(seed: int) -> np.ndarray:
-    from PIL import Image
-
-    rng = np.random.default_rng(seed)
-    board = AprilGridBoard(
-        size_x=4, size_y=4, tag_family="t36h11",
-        page_width_meter=0.5, page_height_meter=0.5,
-    )
-    chart = render_png(board, pixels_per_mm=1.0)
-    im = Image.fromarray(chart)
-    angle = float(rng.uniform(-40, 40))
-    scale = float(rng.uniform(0.6, 0.9))
-    im = im.rotate(angle, resample=Image.BILINEAR, expand=True, fillcolor=160)
-    im = im.resize(
-        (int(im.width * scale), int(im.height * scale)), Image.BILINEAR
-    )
-    canvas = np.full((820, 820), 160, np.uint8)
-    arr = np.asarray(im)
-    oy = int(rng.integers(0, 820 - arr.shape[0]))
-    ox = int(rng.integers(0, 820 - arr.shape[1]))
-    canvas[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
-    noise = rng.normal(0, 3, canvas.shape)
-    return np.clip(canvas.astype(np.float32) + noise, 0, 255).astype(np.uint8)
 
 
 @pytest.mark.parametrize("seed", [1, 2, 3, 7, 11])

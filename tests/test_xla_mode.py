@@ -3,7 +3,10 @@
 mode="xla" runs the ENTIRE detect — including board growth as the
 parallel-frontier fixpoint (ops/board.py, ops/search.py) — inside one
 jitted program; these tests pin its end-to-end correctness (the default
-hybrid mode exercises the native C++ search instead).
+hybrid mode exercises the native C++ search instead). Coverage mirrors
+the reference integration suite (tests/test_detector.rs:25-33): all 8
+bundled images — iphone stresses the 66-tag capacities, TUM_VI/right/
+r45/top exercise 16-bit input — plus the randomized stress scenes.
 """
 
 import numpy as np
@@ -12,19 +15,45 @@ import pytest
 from aprilgrid_tpu.detector import TagDetector
 from aprilgrid_tpu.oracle.numpy_ref import TagDetector as Oracle, load_image
 
+from conftest import make_stress_scene as _scene
+
 
 @pytest.fixture(scope="module")
 def detector():
     return TagDetector("t36h11", mode="xla")
 
 
-@pytest.mark.parametrize("name,expected", [("EuRoC", 36), ("two_boards", 72)])
+@pytest.mark.parametrize(
+    "name,expected",
+    [
+        ("EuRoC", 36),
+        ("two_boards", 72),
+        ("iphone", 66),
+        ("TUM_VI", 36),
+        ("right", 36),
+        ("r45", 36),
+        ("top", 36),
+        ("top_right", None),  # bundled but not golden-counted upstream
+    ],
+)
 def test_xla_mode_golden(detector, data_dir, name, expected):
     img = load_image(str(data_dir / f"{name}.png"))
     tags = detector.detect(img)
     ref = Oracle("t36h11").detect(img)
-    assert len(tags) == expected
+    if expected is not None:
+        assert len(tags) == expected
     assert set(tags) == set(ref)
     for tid in tags:
         err = np.abs(np.asarray(tags[tid]) - np.asarray(ref[tid])).max()
         assert err < 0.1, (tid, err)
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_xla_mode_stress_scene(detector, seed):
+    img = _scene(seed)
+    ref = Oracle("t36h11").detect(img)
+    got = detector.detect(img)
+    assert set(got) == set(ref)
+    for tid in got:
+        err = np.abs(np.asarray(got[tid]) - np.asarray(ref[tid])).max()
+        assert err < 0.1, (seed, tid, err)
