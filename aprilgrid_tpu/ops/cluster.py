@@ -84,15 +84,35 @@ def cluster_centroids(
 ) -> Clusters:
     """Centroids of {resp < ratio * min(resp)} components
     (src/detector.rs:414-429)."""
-    h, w = resp.shape
-    hw = h * w
     thr = resp.min() * threshold_ratio
     mask = resp < thr
     lab = label_components(mask, max_rounds)
+    return component_centroids(mask, lab, max_clusters, max_masked)
 
+
+def component_centroids(
+    mask: jnp.ndarray,
+    lab: jnp.ndarray,
+    max_clusters: int,
+    max_masked: int,
+    row_range: tuple | None = None,
+) -> Clusters:
+    """Per-component centroids from precomputed labels, in ascending
+    root order (= the reference's scan-order cluster enumeration).
+
+    ``row_range=(lo, hi)`` keeps only components whose ROOT row lies in
+    [lo, hi) — the claiming rule for row-sharded windows: a blob's root
+    (minimum linear index = topmost pixel) lies in exactly one shard's
+    band, so every blob is claimed exactly once while halo rows provide
+    the cross-boundary pixels for its centroid."""
+    h, w = mask.shape
+    hw = h * w
     flat_mask = mask.ravel()
     flat_lab = lab.ravel()
     root = flat_mask & (flat_lab == jnp.arange(hw, dtype=jnp.int32))
+    if row_range is not None:
+        rows = jnp.arange(hw, dtype=jnp.int32) // w
+        root &= (rows >= row_range[0]) & (rows < row_range[1])
 
     (root_idx,) = jnp.nonzero(root, size=max_clusters, fill_value=hw)
     root_idx = root_idx.astype(jnp.int32)

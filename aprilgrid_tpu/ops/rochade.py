@@ -66,8 +66,14 @@ def rochade_refine(
     centers_valid: jnp.ndarray,
     half_patch: int = 2,
     move_threshold: float = 1.0,
+    global_bounds: tuple | None = None,
 ) -> Saddles:
-    """Refine all candidate corners at once (src/detector.rs:194-361)."""
+    """Refine all candidate corners at once (src/detector.rs:194-361).
+
+    ``global_bounds=(true_h, row_offset)``: when ``blur`` is a
+    row-sharded window of a taller image, the bounds gate must test the
+    TRUE image rows (window row r = global row r + row_offset); output
+    positions stay in window coordinates."""
     pinv_np, cone_np = _constants(half_patch)
     pinv = jnp.asarray(pinv_np)
     cone = jnp.asarray(cone_np)
@@ -77,8 +83,10 @@ def rochade_refine(
 
     rx = rust_round(centers[:, 0]).astype(jnp.int32)
     ry = rust_round(centers[:, 1]).astype(jnp.int32)
+    true_h, row_off = (h, 0) if global_bounds is None else global_bounds
+    gy = ry + row_off
     in_bounds = (
-        (ry - hp2 >= 0) & (ry + hp2 < h) & (rx - hp2 >= 0) & (rx + hp2 < w)
+        (gy - hp2 >= 0) & (gy + hp2 < true_h) & (rx - hp2 >= 0) & (rx + hp2 < w)
     ) & centers_valid
 
     # gather the (2k+1)+(2k) = 9x9 support patch for each candidate

@@ -29,6 +29,8 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.frontend import gaussian_kernel
+from ..ops.cluster import component_centroids, label_components
+from ..ops.rochade import filter_and_compact, rochade_refine
 
 
 def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
@@ -74,6 +76,115 @@ def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:
     top = jnp.where(idx == 0, top_edge, down)
     bot = jnp.where(idx == n - 1, bot_edge, up)
     return jnp.concatenate([top, x, bot], axis=0)
+
+
+def saddle_frontend_rows_sharded(
+    mesh: Mesh,
+    params,
+    consts,
+    caps,
+    axis: str = "sp",
+    blob_halo: int = 64,
+):
+    """Row-sharded FULL saddle front-end for one large frame: blur +
+    Hessian + clustering + ROCHADE + gates, sharded across ``axis`` with
+    the saddle compaction as the gather point (SURVEY.md section 2c TP
+    row — the dense stages of a 4K frame spread over chips).
+
+    Mechanics: each shard processes its row band plus a ``blob_halo``-row
+    window on each side (ring ``ppermute`` halo over ICI). A response
+    blob is CLAIMED by the shard whose band holds its root (minimum
+    linear index = topmost pixel) — exactly one claimant per blob, halo
+    rows supply the cross-boundary pixels. Per-shard saddles are
+    ``all_gather``-ed in shard order (= global scan order, matching the
+    reference's cluster enumeration) and the strength/angle gates run on
+    the gathered set, so the k >= max_k/10 gate sees the GLOBAL maximum
+    (src/detector.rs:436-444). Blobs taller than ``blob_halo`` rows
+    truncate at the window edge (the Pallas path caps at 48 rows; the
+    bundled data peaks at 29).
+
+    Returns a jitted ``luma (H, W) f32 -> Saddles`` (global coordinates,
+    replicated across shards). H must divide by the axis size and the
+    per-shard band must be >= blob_halo + 4 rows.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    k = gaussian_kernel(consts.blur_sigma)
+    radius = (len(k) - 1) // 2
+    hl = blob_halo + radius + 1  # luma halo: blob window + blur + hessian
+    n = mesh.shape[axis]
+
+    def local(luma_tile):
+        hs, w = luma_tile.shape
+        assert hs >= hl, (
+            f"per-shard band ({hs} rows) must cover the halo ({hl}); use "
+            "fewer shards or a smaller blob_halo"
+        )
+        h = hs * n
+        r0 = lax.axis_index(axis) * hs
+
+        ext = _halo_exchange_rows(luma_tile, hl, axis)  # (hs + 2*hl, W)
+        padded = jnp.pad(ext, ((0, 0), (radius, radius)), mode="edge")
+        temp = jnp.zeros_like(ext)
+        for i, kw in enumerate(k):
+            temp = temp + padded[:, i : i + w] * kw
+        # blur window rows L -> global rows r0 - blob_halo - 1 + L
+        win = hs + 2 * blob_halo + 2
+        blur2 = jnp.zeros((win, w), luma_tile.dtype)
+        for i, kw in enumerate(k):
+            blur2 = blur2 + temp[i : i + win, :] * kw
+        # blur2 row L -> global row r0 - blob_halo - 1 + L
+        v = blur2
+        lxx = v[1:-1, :-2] - 2.0 * v[1:-1, 1:-1] + v[1:-1, 2:]
+        lyy = v[:-2, 1:-1] - 2.0 * v[1:-1, 1:-1] + v[2:, 1:-1]
+        lxy = (v[:-2, 2:] - v[:-2, :-2] + v[2:, :-2] - v[2:, 2:]) * 0.25
+        resp = jnp.pad(lxx * lyy - lxy * lxy, ((0, 0), (1, 1)))
+        blur_win = blur2[1:-1, :]  # (hs + 2*blob_halo, W), global r0-blob_halo+L
+        grow = (r0 - blob_halo) + jnp.arange(resp.shape[0])[:, None]
+        gcol = jnp.arange(w)[None, :]
+        live = (grow > 0) & (grow < h - 1) & (gcol > 0) & (gcol < w - 1)
+        resp = jnp.where(live, resp, 0.0)
+
+        # threshold = ratio * GLOBAL response minimum (src/detector.rs:414-418)
+        band = slice(blob_halo, blob_halo + hs)
+        thr = lax.pmin(jnp.min(resp[band, :]), axis) * (
+            consts.response_threshold_ratio
+        )
+        mask = resp < thr
+        lab = label_components(mask, caps.label_prop_rounds)
+        cents = component_centroids(
+            mask, lab, caps.max_clusters, caps.max_masked,
+            row_range=(blob_halo, blob_halo + hs),
+        )
+        raw = rochade_refine(
+            blur_win, cents.centers, cents.valid,
+            consts.rochade_half_patch, consts.rochade_move_threshold,
+            global_bounds=(h, r0 - blob_halo),
+        )
+        # window -> global coordinates, then gather in shard (= scan) order
+        p_global = raw.p.at[:, 1].add((r0 - blob_halo).astype(jnp.float32))
+        gathered = jax.tree.map(
+            lambda x: lax.all_gather(x, axis, tiled=True),
+            raw._replace(p=p_global),
+        )
+        return filter_and_compact(
+            gathered,
+            caps.max_saddles,
+            consts.saddle_k_ratio,
+            params.min_saddle_angle,
+            params.max_saddle_angle,
+        )
+
+    from ..ops.rochade import Saddles
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=Saddles(p=P(), k=P(), theta=P(), phi=P(), valid=P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
 
 
 def frontend_rows_sharded(mesh: Mesh, sigma: float = 1.5, axis: str = "sp"):

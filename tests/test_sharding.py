@@ -37,6 +37,39 @@ def test_row_sharded_frontend_matches_single_chip():
     np.testing.assert_allclose(np.asarray(resp), np.asarray(ref_resp), atol=1e-6)
 
 
+def test_row_sharded_saddle_frontend_matches_single_chip(data_dir):
+    """Full saddle front-end (blur + clustering + ROCHADE + gates)
+    row-sharded over 4 devices == the single-device pipeline, on a real
+    image (VERDICT round-1 item 7: spatial sharding past the stencils)."""
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DetectorParams
+    from aprilgrid_tpu.oracle.numpy_ref import load_image, to_luma32f
+    from aprilgrid_tpu.ops.frontend import gaussian_blur, hessian_response
+    from aprilgrid_tpu.parallel.sharding import saddle_frontend_rows_sharded
+    from aprilgrid_tpu.pipeline import _frontend_tail
+
+    img = load_image(str(data_dir / "EuRoC.png"))  # 480x752, 36 tags
+    luma = jnp.asarray(to_luma32f(img))
+    params, consts, caps = DetectorParams(), CONSTANTS, DEFAULT_CAPACITIES
+
+    blur = gaussian_blur(luma, consts.blur_sigma)
+    resp = hessian_response(blur)
+    ref = _frontend_tail(blur, resp, params, consts, caps)
+    ref = jax.tree.map(np.asarray, ref)
+
+    mesh = make_mesh({"sp": 4})
+    fn = saddle_frontend_rows_sharded(mesh, params, consts, caps, "sp")
+    got = jax.tree.map(np.asarray, fn(luma))
+
+    rv, gv = ref.valid, got.valid
+    assert rv.sum() == gv.sum() and rv.sum() > 100
+    rp = ref.p[rv][np.lexsort(ref.p[rv].T)]
+    gp = got.p[gv][np.lexsort(got.p[gv].T)]
+    np.testing.assert_allclose(gp, rp, atol=1e-5)
+    rk = np.sort(ref.k[rv])
+    gk = np.sort(got.k[gv])
+    np.testing.assert_allclose(gk, rk, atol=1e-6)
+
+
 def test_detect_batch_sharded(data_dir):
     from aprilgrid_tpu.detector import TagDetector
     from aprilgrid_tpu.oracle.numpy_ref import load_image
