@@ -263,7 +263,7 @@ class TagDetector:
         ]
 
     def _detect_hybrid(
-        self, imgs: np.ndarray, chunk: int = 128
+        self, imgs: np.ndarray, chunk: int = 64
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Hybrid runtime (see native/search.cpp): TPU dense front-end,
         native C++ board search on the tiny saddle arrays, TPU decode.
@@ -284,24 +284,27 @@ class TagDetector:
             for i in range(n_chunks)
         ]
 
-        # dispatch every chunk's front-end up front (async on device)
+        # dispatch every chunk's front-end up front (async on device);
+        # saddle downloads happen lazily per chunk so chunk k's host
+        # search overlaps chunk k+1's front-end still running on device
         fronts = [self._frontend_packed_fn(imgs[lo:hi]) for lo, hi in bounds]
-        state = []
-        for packed, _luma8 in fronts:
-            pk = np.asarray(packed)  # one transfer per chunk: (b, N, 4)
-            state.append(
-                {
+        state: list[dict | None] = [None] * n_chunks
+        results: list[dict] = [{} for _ in range(b)]
+
+        def chunk_state(ci):
+            if state[ci] is None:
+                pk = np.asarray(fronts[ci][0])  # one transfer: (b, N, 4)
+                state[ci] = {
                     "sp": np.ascontiguousarray(pk[..., 0:2]),
                     "theta": np.ascontiguousarray(pk[..., 2]),
                     "alive": np.ascontiguousarray(pk[..., 3] > 0.5).astype(
                         np.uint8
                     ),
                 }
-            )
-        results: list[dict] = [{} for _ in range(b)]
+            return state[ci]
 
         def search_and_dispatch(ci):
-            st = state[ci]
+            st = chunk_state(ci)
             quads, counts = native.find_board_batch(
                 np.ascontiguousarray(st["sp"][..., 0]),
                 np.ascontiguousarray(st["sp"][..., 1]),

@@ -41,8 +41,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..ops.rochade import Saddles, _constants
 
-_BAND = 64      # rows assigned per tile
-_WIN = 120      # window rows (band + tall-cluster headroom + margins)
+_BAND = 128     # rows assigned per tile (2 frontend tiles per window:
+                # halves the window-overlap re-read and fixed costs)
+_WIN = 184      # window rows = 8 top context + band + 48 blob headroom
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
 _CAPF = 1024    # accepted-candidate capacity PER FRAME (append-compacted)
 _MAX_ROOTS = 8192  # per-window extraction guard (pathological scenes)

@@ -92,7 +92,9 @@ def saddle_frontend_batch(
     import jax
 
     h, w = imgs.shape[1], imgs.shape[2]
-    if use_pallas and h >= 84:
+    # the Pallas cluster kernel needs the padded height to cover one
+    # _WIN-row window; smaller frames take the XLA path below
+    if use_pallas and -(-h // 64) * 64 >= 184:
         from .pallas.cluster import cluster_rochade, saddles_from_candidates
         from .pallas.frontend import front_kernel
 
@@ -106,20 +108,21 @@ def saddle_frontend_batch(
         tmin = jnp.min(tile_min, axis=(2, 3))                 # (B, T64)
         thr = jnp.min(tmin, axis=1) * consts.response_threshold_ratio
         # per-window skip flags: a _BAND-row band's _WIN-row window spans
-        # up to three 64-row frontend tiles; if the response minimum over
-        # all of them is above the threshold the window holds no cluster
+        # several 64-row frontend tiles; if the response minimum over all
+        # of them is above the threshold the window holds no cluster
         import numpy as _np
 
         from .pallas.cluster import _BAND as _CB, _WIN as _CW
 
         hp = blur_p.shape[1]
         tcl = -(-h // _CB)
-        cover = _np.zeros((tcl, 3), _np.int32)
+        ncov = _CW // 64 + 2  # tiles a window can touch (8-aligned start)
+        cover = _np.zeros((tcl, ncov), _np.int32)
         for ti in range(tcl):
             row0 = min(max(ti * _CB - 8, 0), hp - _CW)
             lo = row0 // 64
             hi = min((row0 + _CW - 1) // 64, tile_min.shape[1] - 1)
-            cover[ti] = [lo, min(lo + 1, hi), hi]
+            cover[ti] = [min(lo + j, hi) for j in range(ncov)]
         win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, Tc)
         skip = (win_min >= thr[:, None]).astype(jnp.int32)
         fields, _counts = cluster_rochade(

@@ -71,39 +71,55 @@ class StageTimer:
 
 
 def detect_stage_report(detector, imgs: np.ndarray, reps: int = 3) -> str:
-    """Time each hybrid-pipeline stage over a batch (post-warmup)."""
+    """Time each hybrid-pipeline stage over a batch (post-warmup),
+    mirroring TagDetector._detect_hybrid: fused front-end, one packed
+    saddle download, then per board pass native search -> one packed
+    quad upload -> device decode -> one packed result download."""
     import jax.numpy as jnp
 
     from .. import native
 
     imgs_d = jnp.asarray(imgs)
     detector.detect_batch(imgs_d)  # warm every jit
+    hw = (int(imgs.shape[1]), int(imgs.shape[2]))
+    cap = (2 * detector.caps.grid_radius + 1) ** 2
+    dcap = min(cap, 2 * detector.caps.max_tags)
+    b = imgs.shape[0]
 
     t = StageTimer()
     for _ in range(reps):
         t.start()
-        saddles, luma8 = detector._frontend_batch_fn(imgs_d)
-        t.stop("frontend (device)", saddles)
-        sp = np.asarray(saddles.p)
-        th = np.asarray(saddles.theta)
-        alive = np.ascontiguousarray(np.asarray(saddles.valid), np.uint8)
+        packed, luma8 = detector._frontend_packed_fn(imgs_d)
+        t.stop("frontend (device)", packed)
+        pk = np.asarray(packed)
+        sp = np.ascontiguousarray(pk[..., 0:2])
+        th = np.ascontiguousarray(pk[..., 2])
+        alive = np.ascontiguousarray(pk[..., 3] > 0.5).astype(np.uint8)
         t.stop("saddle download")
-        cap = (2 * detector.caps.grid_radius + 1) ** 2
-        quads, counts = native.find_board_batch(
-            np.ascontiguousarray(sp[..., 0]),
-            np.ascontiguousarray(sp[..., 1]),
-            th,
-            alive,
-            cap=cap,
-        )
-        t.stop("board search (native)")
-        dcap = min(cap, 4 * detector.caps.max_tags)
-        quads = quads[:, :dcap]
-        qv = np.arange(dcap)[None, :] < counts[:, None]
-        qp = np.take_along_axis(
-            sp, np.maximum(quads, 0).reshape(imgs.shape[0], -1, 1), axis=1
-        ).reshape(imgs.shape[0], dcap, 4, 2)
-        dec = detector._decode_batch_fn(luma8, jnp.asarray(qp), jnp.asarray(qv))
-        t.stop("decode (device)", dec)
-    out = t.report()
-    return out
+        for p in range(detector.params.max_num_of_boards):
+            quads, counts = native.find_board_batch(
+                np.ascontiguousarray(sp[..., 0]),
+                np.ascontiguousarray(sp[..., 1]),
+                th,
+                alive,
+                spacing_ratio=detector.params.tag_spacing_ratio,
+                max_seeds=detector.consts.max_seeds,
+                early_exit_score=detector.consts.early_exit_score,
+                cap=cap,
+            )
+            t.stop(f"board search pass {p + 1} (host)")
+            quads = np.ascontiguousarray(quads[:, :dcap])
+            qarr = np.concatenate(
+                [quads.reshape(b, dcap * 4), counts[:, None]], axis=1
+            ).astype(np.int32)
+            dec = detector._decode_packed_fn(
+                packed, luma8, jnp.asarray(qarr), hw=hw, dcap=dcap
+            )
+            t.stop(f"decode pass {p + 1} (upload+device)", dec)
+            arr = np.asarray(dec)
+            t.stop(f"result download pass {p + 1}")
+            valid = arr[..., 1] > 0.5
+            fi, fj = np.nonzero(valid)
+            alive[np.repeat(fi, 4), quads[fi, fj].reshape(-1)] = 0
+            t.stop(f"collect pass {p + 1} (host)")
+    return t.report()

@@ -119,7 +119,7 @@ def test_cluster_blob_size_cap_is_signaled_not_silent():
     """A response blob taller than the member-scan window is dropped by
     design (the reference has no such cap) — but the drop must be
     SURFACED via the per-frame drop counter, never silent."""
-    from aprilgrid_tpu.pallas.cluster import _SUB, cluster_rochade
+    from aprilgrid_tpu.pallas.cluster import _BAND, _SUB, cluster_rochade
 
     h, w = 256, 256
     # blur = r*c has lxy = 1, lxx = lyy = 0 => response = -1 at every
@@ -129,7 +129,7 @@ def test_cluster_blob_size_cap_is_signaled_not_silent():
     blur = (r * c)[None]
     assert h > _SUB  # the blob is guaranteed to cross the scan border
     thr = jnp.asarray([-0.05], jnp.float32)
-    tiles = -(-h // 64)
+    tiles = -(-h // _BAND)
     skip = jnp.zeros((1, tiles), jnp.int32)
     fields, counts = cluster_rochade(
         jnp.asarray(blur), thr, skip, h, w, 4, 1.0, interpret=True
