@@ -77,6 +77,32 @@ def _rot_perms(edge: int) -> np.ndarray:
     return np.stack(perms)  # (4, n)
 
 
+def decode_positions_px(
+    corners,
+    spec: FamilySpec,
+    margin: float,
+    width: int,
+    height: int,
+):
+    """Public bit-cell sample positions for one quad — the standalone
+    decode_positions the reference exposes and its demo calls per
+    detected tag for the overlay (src/detector.rs:42-72,
+    examples/demo.rs:83). Host-side NumPy; returns (edge^2, 2) float32
+    or None when a rounded corner falls outside the image."""
+    c = np.asarray(corners, np.float32).reshape(4, 2)
+    rc = np.copysign(np.floor(np.abs(c) + 0.5), c)
+    if (np.maximum(rc, 0.0)[:, 0] >= width).any() or (
+        np.maximum(rc, 0.0)[:, 1] >= height
+    ).any():
+        return None
+    pinv = _affine_pinv(spec.side_bits, margin)
+    params = pinv @ c.reshape(8)
+    grid = _bit_grid(spec.edge, spec.border)
+    px = params[0] * grid[:, 0] + params[1] * grid[:, 1] + params[2]
+    py = params[3] * grid[:, 0] + params[4] * grid[:, 1] + params[5]
+    return np.stack([px, py], axis=-1)
+
+
 def decode_quads(
     luma8: jnp.ndarray,
     quad_pos: jnp.ndarray,   # (T, 4, 2) float32 corner positions

@@ -236,8 +236,6 @@ def _compute(
     # loop-invariant member-scan iotas, hoisted out of the hot loop
     subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
     subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
-    subrowf = subrow.astype(jnp.float32)
-    subcolf = subcol.astype(jnp.float32)
 
     def sbody(state):
         s, lbl = state
@@ -254,22 +252,26 @@ def _compute(
         cstart = jnp.clip(((croot - 64) // 128) * 128, 0, wp - _SUBW)
         cstart = pl.multiple_of(cstart, 128)
         sub = lab_ref[pl.ds(lroot, _SUB), pl.ds(cstart, _SUBW)]
-        member = sub == lbl
-        memberf = member.astype(jnp.float32)
-        cnt = jnp.sum(memberf)
-        cx = jnp.sum(memberf * subcolf) / cnt + cstart.astype(jnp.float32)
-        cy = jnp.sum(memberf * subrowf) / cnt + (row0 + lroot).astype(
-            jnp.float32
-        )
-        # drop clusters that may extend beyond the scanned window (one
-        # fused border mask -> one reduction; the gates are scalars)
+        member = (sub == lbl).astype(jnp.int32)
+        # pack the pixel count (< 2^14) and the border-contact count into
+        # ONE integer reduction; clusters touching the scan border that
+        # could continue beyond it are dropped (bad) — the counts fit:
+        # cnt <= 48*256, border pixels <= 2*256+2*48
         last_global = row0 + lroot + _SUB - 1
         border = (
             ((subrow >= _SUB - 2) & (last_global < h - 1))
             | ((subcol == 0) & (cstart > 0))
             | ((subcol == _SUBW - 1) & (cstart + _SUBW < w))
         )
-        bad = jnp.any(member & border)
+        packed = jnp.sum(member * (1 + (border.astype(jnp.int32) << 14)))
+        cnt = (packed & 16383).astype(jnp.float32)
+        bad = (packed >> 14) > 0
+        cx = jnp.sum(member * subcol).astype(jnp.float32) / cnt + cstart.astype(
+            jnp.float32
+        )
+        cy = jnp.sum(member * subrow).astype(jnp.float32) / cnt + (
+            row0 + lroot
+        ).astype(jnp.float32)
 
         # reference rust_round (coords are non-negative here)
         rx = jnp.floor(cx + 0.5).astype(jnp.int32)
