@@ -39,6 +39,7 @@ constexpr int kNone = -1;                // -1 attempted/failed, >=0 quad slot
 
 struct Saddle {
   float x, y, theta;
+  float ct, st;  // cos/sin of theta (degrees), precomputed once
 };
 
 // |line angle difference| folded to [0, 90] (src/math_util.rs:15-23)
@@ -59,7 +60,37 @@ inline float angle_degree(float ax, float ay, float bx, float by) {
   return std::atan2(by * ax - bx * ay, ax * bx + ay * by) * 180.0f / kPi;
 }
 
-// quad validity gates (src/saddle.rs:17-67)
+// |a_i - a_j| <= 10 deg gate on two corner angles given their
+// unnormalized (cos, sin) pairs: algebraic fast path with an exact
+// atan2 confirmation near the decision boundary (and near the +-180
+// wrap, where the cosine-of-difference test alone would be ambiguous),
+// so accept/reject decisions are bit-identical to the reference's
+// angle_degree formulation (src/saddle.rs:54-62).
+inline bool angles_close10(float cos_i, float sin_i, float cos_j,
+                           float sin_j) {
+  float m2 = (cos_i * cos_i + sin_i * sin_i) *
+             (cos_j * cos_j + sin_j * sin_j);
+  float lhs = cos_i * cos_j + sin_i * sin_j;  // cos(ai - aj) * m
+  constexpr float kCos10 = 0.98480775301220805936f;
+  float m = std::sqrt(m2);
+  float thr = kCos10 * m;
+  float eps = 1e-4f * m + 1e-30f;
+  bool wrap_risk = cos_i < -0.99f * std::sqrt(cos_i * cos_i + sin_i * sin_i) &&
+                   cos_j < -0.99f * std::sqrt(cos_j * cos_j + sin_j * sin_j);
+  if (!wrap_risk) {
+    if (lhs > thr + eps) return true;
+    if (lhs < thr - eps) return false;
+  }
+  float ai = std::atan2(sin_i, cos_i) * 180.0f / kPi;
+  float aj = std::atan2(sin_j, cos_j) * 180.0f / kPi;
+  return std::fabs(ai - aj) <= 10.0f;
+}
+
+// quad validity gates (src/saddle.rs:17-67). The two atan2-based angle
+// gates use algebraic fast paths (square/cosine comparisons) with exact
+// confirmation inside a narrow boundary band — atan2 only runs for the
+// rare near-boundary candidates, which dominates init_quads' C(n,2)
+// pair sweep cost.
 bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
                    const Saddle& d1) {
   if (theta_distance_degree(d0.theta, d1.theta) > 5.0f) return false;
@@ -67,10 +98,21 @@ bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
   float v03x = d1.x - s0.x, v03y = d1.y - s0.y;
   float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
 
-  float th = s0.theta / 180.0f * kPi;
-  float vtx = std::cos(th), vty = std::sin(th);
-  float ang = std::fabs(angle_degree(v02x, v02y, vtx, vty));
-  if (!(ang >= 60.0f && ang <= 120.0f)) return false;
+  // |angle(v02, theta-dir)| in [60, 120] <=> cos^2 <= 1/4 (unit dir)
+  {
+    float dt = v02x * s0.ct + v02y * s0.st;
+    float q = dt * dt;
+    float n2 = v02x * v02x + v02y * v02y;
+    float hi = 0.25f * n2;
+    float eps = 1e-4f * n2 + 1e-30f;
+    if (q > hi + eps) return false;
+    if (q >= hi - eps) {  // boundary band: exact reference math
+      float th = s0.theta / 180.0f * kPi;
+      float vtx = std::cos(th), vty = std::sin(th);
+      float ang = std::fabs(angle_degree(v02x, v02y, vtx, vty));
+      if (!(ang >= 60.0f && ang <= 120.0f)) return false;
+    }
+  }
 
   float c0 = cross(v01x, v01y, v02x, v02y);
   float c1 = cross(v02x, v02y, v03x, v03y);
@@ -81,11 +123,14 @@ bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
   float c12 = cross(v12x, v12y, v23x, v23y);
   if (c01 * c12 < 0.0f) return false;
   float v30x = s0.x - d1.x, v30y = s0.y - d1.y;
-  float a0 = angle_degree(v01x, v01y, v12x, v12y);
-  float a1 = angle_degree(v12x, v12y, v23x, v23y);
-  float a2 = angle_degree(v23x, v23y, v30x, v30y);
-  float a3 = angle_degree(v30x, v30y, v01x, v01y);
-  if (std::fabs(a0 - a2) > 10.0f || std::fabs(a1 - a3) > 10.0f) return false;
+  float c23 = cross(v23x, v23y, v30x, v30y);
+  float c30 = cross(v30x, v30y, v01x, v01y);
+  float d01 = dot(v01x, v01y, v12x, v12y);
+  float d12 = dot(v12x, v12y, v23x, v23y);
+  float d23 = dot(v23x, v23y, v30x, v30y);
+  float d30 = dot(v30x, v30y, v01x, v01y);
+  if (!angles_close10(d01, c01, d23, c23)) return false;
+  if (!angles_close10(d12, c12, d30, c30)) return false;
   if (dot(v01x, v01y, v02x, v02y) < 0.0f ||
       dot(v03x, v03y, v02x, v02y) < 0.0f)
     return false;
@@ -135,8 +180,15 @@ struct SpatialGrid {
   }
 
   // k nearest neighbors of (qx, qy), sorted by distance.
+  // Small-k fast path: the hot expansion queries are 3-NN (and 1-NN for
+  // hole repair) — a bounded insertion sort with distance pruning beats
+  // collect-everything + partial_sort by a wide margin there.
   void knn(float qx, float qy, int k,
            std::vector<std::pair<float, int>>& out) const {
+    if (k <= 4) {
+      knn_small(qx, qy, k, out);
+      return;
+    }
     out.clear();
     const auto& saddles = *pts;
     int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
@@ -178,6 +230,100 @@ struct SpatialGrid {
     }
     std::sort(out.begin(), out.end());
     if ((int)out.size() > k) out.resize(k);
+  }
+
+  void knn_small(float qx, float qy, int k,
+                 std::vector<std::pair<float, int>>& out) const {
+    const auto& saddles = *pts;
+    float bd[4] = {1e30f, 1e30f, 1e30f, 1e30f};
+    int bi[4] = {-1, -1, -1, -1};
+    int n0 = 0;
+    int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
+    int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
+    int max_ring = nx + ny;
+    auto scan_cell = [&](int gx, int gy) {
+      if (gx < 0 || gx >= nx || gy < 0 || gy >= ny) return;
+      size_t c = (size_t)gy * nx + gx;
+      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
+        int i = items[ii];
+        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+        float d = dx * dx + dy * dy;
+        if (n0 == k && d >= bd[k - 1]) continue;
+        int j = std::min(n0, k - 1);
+        while (j > 0 && bd[j - 1] > d) {
+          bd[j] = bd[j - 1];
+          bi[j] = bi[j - 1];
+          --j;
+        }
+        bd[j] = d;
+        bi[j] = i;
+        if (n0 < k) ++n0;
+      }
+    };
+    for (int ring = 0; ring <= max_ring; ++ring) {
+      int xa = cx - ring, xb = cx + ring, ya = cy - ring, yb = cy + ring;
+      if (ring == 0) {
+        scan_cell(cx, cy);
+      } else {
+        for (int gx = xa; gx <= xb; ++gx) {
+          scan_cell(gx, ya);
+          scan_cell(gx, yb);
+        }
+        for (int gy = ya + 1; gy <= yb - 1; ++gy) {
+          scan_cell(xa, gy);
+          scan_cell(xb, gy);
+        }
+      }
+      if (n0 == k && ring >= 1) {
+        float safe = (float)(ring - 1) * cell;
+        if (bd[k - 1] <= safe * safe) break;
+      }
+    }
+    out.clear();
+    for (int j = 0; j < n0; ++j) out.emplace_back(bd[j], bi[j]);
+  }
+};
+
+// Memoized expansion-candidate lists. closest_potential's 3-NN search,
+// radius gate and theta gate depend only on the (a, b) edge pair and
+// the round's alive set — both fixed across every board grown within
+// one ag_find_board call. Only the per-grow `active` gate is dynamic,
+// and it filters a distance-ordered list, so applying it at retrieval
+// is EXACTLY equivalent to recomputing (the repeated re-grows of the
+// same physical board from different candidate quads hit this cache
+// almost every query). Open-addressed, sized for ~thousands of edges.
+struct PairCache {
+  struct Entry {
+    uint32_t key = kFree;
+    int8_t n0 = 0, n1 = 0;
+    int16_t c0[3] = {0, 0, 0}, c1[3] = {0, 0, 0};
+  };
+  static constexpr uint32_t kFree = 0xffffffffu;
+  std::vector<Entry> slots;
+  uint32_t mask = 0;
+
+  void reset(int n_points) {
+    size_t cap = 1024;
+    while (cap < (size_t)n_points * 16) cap <<= 1;  // low load factor
+    if (slots.size() != cap) slots.assign(cap, Entry{});
+    else std::fill(slots.begin(), slots.end(), Entry{});
+    mask = (uint32_t)cap - 1;
+  }
+
+  Entry& probe(uint32_t key, bool& hit) {
+    uint32_t h = (key * 2654435761u) & mask;
+    for (;;) {
+      Entry& e = slots[h];
+      if (e.key == key) {
+        hit = true;
+        return e;
+      }
+      if (e.key == kFree) {
+        hit = false;
+        return e;
+      }
+      h = (h + 1) & mask;
+    }
   }
 };
 
@@ -222,40 +368,55 @@ struct Searcher {
   const SpatialGrid& grid;
   float spacing;
   Workspace& ws;
+  PairCache& cache;
   int score = 0;
 
   Searcher(const std::vector<Saddle>& saddles, const SpatialGrid& g,
-           float spacing_ratio, Workspace& w)
-      : s(saddles), grid(g), spacing(spacing_ratio), ws(w) {}
+           float spacing_ratio, Workspace& w, PairCache& pc)
+      : s(saddles), grid(g), spacing(spacing_ratio), ws(w), cache(pc) {}
 
-  // find_closest_potential_saddle_idxs (src/board.rs:177-234)
-  void closest_potential(const Saddle& a, const Saddle& b, int out0[3],
-                         int& n0, int out1[3], int& n1) {
-    float ratio = 1.0f + spacing;
-    float vx = b.x - a.x, vy = b.y - a.y;
-    float radius_sq = 0.5f * (vx * vx + vy * vy);
+  // find_closest_potential_saddle_idxs (src/board.rs:177-234); the
+  // active-agnostic candidate lists are memoized per (ai, bi) edge
+  void closest_potential(int ai, int bi, int out0[3], int& n0,
+                         int out1[3], int& n1) {
+    bool hit;
+    PairCache::Entry& e =
+        cache.probe(((uint32_t)ai << 16) | (uint32_t)bi, hit);
+    if (!hit) {
+      const Saddle& a = s[ai];
+      const Saddle& b = s[bi];
+      float ratio = 1.0f + spacing;
+      float vx = b.x - a.x, vy = b.y - a.y;
+      float radius_sq = 0.5f * (vx * vx + vy * vy);
+      e.key = ((uint32_t)ai << 16) | (uint32_t)bi;
+      e.n0 = e.n1 = 0;
+      grid.knn(a.x + vx * ratio, a.y + vy * ratio, 3, ws.nn);
+      for (auto& [dsq, idx] : ws.nn) {
+        if (dsq <= radius_sq &&
+            theta_distance_degree(a.theta, s[idx].theta) < 5.0f)
+          e.c0[e.n0++] = (int16_t)idx;
+      }
+      grid.knn(b.x + vx * ratio, b.y + vy * ratio, 3, ws.nn);
+      for (auto& [dsq, idx] : ws.nn) {
+        if (dsq <= radius_sq &&
+            theta_distance_degree(b.theta, s[idx].theta) < 5.0f)
+          e.c1[e.n1++] = (int16_t)idx;
+      }
+    }
     n0 = n1 = 0;
-    grid.knn(a.x + vx * ratio, a.y + vy * ratio, 3, ws.nn);
-    for (auto& [dsq, idx] : ws.nn) {
-      if (dsq <= radius_sq && ws.active[idx] &&
-          theta_distance_degree(a.theta, s[idx].theta) < 5.0f)
-        out0[n0++] = idx;
-    }
-    grid.knn(b.x + vx * ratio, b.y + vy * ratio, 3, ws.nn);
-    for (auto& [dsq, idx] : ws.nn) {
-      if (dsq <= radius_sq && ws.active[idx] &&
-          theta_distance_degree(b.theta, s[idx].theta) < 5.0f)
-        out1[n1++] = idx;
-    }
+    for (int j = 0; j < e.n0; ++j)
+      if (ws.active[e.c0[j]]) out0[n0++] = e.c0[j];
+    for (int j = 0; j < e.n1; ++j)
+      if (ws.active[e.c1[j]]) out1[n1++] = e.c1[j];
   }
 
   // try_expand_one (src/board.rs:153-176)
   bool try_expand_one(const int q[4], int out[4]) {
     int n0, n1, n2, n3;
     int c0[3], c1[3], c2[3], c3[3];
-    closest_potential(s[q[0]], s[q[1]], c0, n0, c1, n1);
+    closest_potential(q[0], q[1], c0, n0, c1, n1);
     if (n0 == 0 || n1 == 0) return false;
-    closest_potential(s[q[3]], s[q[2]], c3, n3, c2, n2);
+    closest_potential(q[3], q[2], c3, n3, c2, n2);
     for (int i0 = 0; i0 < n0; ++i0)
       for (int i1 = 0; i1 < n1; ++i1)
         for (int i2 = 0; i2 < n2; ++i2)
@@ -403,7 +564,8 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   s.reserve(n);
   for (int i = 0; i < n; ++i) {
     if (alive[i]) {
-      s.push_back({px[i], py[i], theta[i]});
+      float th = theta[i] / 180.0f * kPi;
+      s.push_back({px[i], py[i], theta[i], std::cos(th), std::sin(th)});
       gidx.push_back(i);
     }
   }
@@ -427,7 +589,9 @@ int ag_find_board(const float* px, const float* py, const float* theta,
 
   std::vector<uint8_t> active_mask(m, 1);
   Workspace ws, best_ws;
-  Searcher searcher(s, grid, spacing_ratio, ws);
+  PairCache cache;
+  cache.reset(m);
+  Searcher searcher(s, grid, spacing_ratio, ws, cache);
   int best_score = 0;
   std::vector<std::array<int, 4>> best_quads;
   std::vector<int> best_cellmap;
