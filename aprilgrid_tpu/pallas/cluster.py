@@ -33,6 +33,8 @@ from __future__ import annotations
 
 import functools
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -49,6 +51,30 @@ _CAPF = 1024    # accepted-candidate capacity PER FRAME (append-compacted)
 _MAX_ROOTS = 8192  # per-window extraction guard (pathological scenes)
 _SUB = 48       # member-scan row window per cluster (>= max blob height)
 _SUBW = 256     # member-scan lane window per cluster (>= max blob width)
+
+
+@functools.lru_cache(maxsize=None)
+def _pinv_rank1(hp2: int):
+    """Rank-1 (vertical, horizontal) factors of the 5 quadric-fit
+    stencils — exact: each pinv row over the product grid is separable
+    (singular values beyond the first are ~1e-17)."""
+    import numpy as _np
+
+    pinv, _ = _constants(hp2 // 2)
+    size = hp2 + 1
+    out = []
+    for j in range(5):
+        m = pinv[j].reshape(size, size).astype(_np.float64)
+        u, s, vt = _np.linalg.svd(m)
+        assert s[1] < 1e-10 * max(s[0], 1e-30), "pinv stencil not rank-1"
+        c = u[:, 0] * _np.sqrt(s[0])
+        r = vt[0] * _np.sqrt(s[0])
+        # sign-normalize the vertical factor so equal factors share
+        k = _np.argmax(_np.abs(c))
+        if c[k] < 0:
+            c, r = -c, -r
+        out.append((c.astype(_np.float64), r.astype(_np.float64)))
+    return out
 
 
 def _window_start(ti, hp):
@@ -211,9 +237,29 @@ def _compute(
                 acc = acc + wgt * u
         return acc
 
+    def stencil_1d(src, w, axis):
+        dim = _WIN if axis == 0 else wp
+        acc = jnp.zeros_like(src)
+        for d in range(size):
+            sh = (dim - d + 2) % dim
+            t = pltpu.roll(src, sh, axis) if sh else src
+            wgt = float(w[d])
+            if wgt != 0.0:
+                acc = acc + wgt * t
+        return acc
+
     smooth = stencil(blur, cone_np)
+    # every quadric-fit stencil is EXACTLY rank-1 (the monomial basis on
+    # a product grid separates), so each 25-tap pass factors into one
+    # 5-tap vertical + one 5-tap horizontal pass; the vertical factors
+    # repeat across coefficients and are shared
+    vcache: dict = {}
     for j in range(5):
-        fbuf[j] = stencil(smooth, pinv_np[j].reshape(size, size))
+        cvec, rvec = _pinv_rank1(hp2)[j]
+        key = tuple(np.round(cvec, 12))
+        if key not in vcache:
+            vcache[key] = stencil_1d(smooth, cvec, 0)
+        fbuf[j] = stencil_1d(vcache[key], rvec, 1)
 
     iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
