@@ -8,7 +8,7 @@ bench:
 	python bench.py
 
 bench4k:
-	PYTHONPATH=. python tools/bench_4k.py
+	python tools/bench_4k.py
 
 charts:
 	python tools/generate_aprilgrid.py -t t36h11 -x 6 -y 6 --out-dir charts

@@ -485,7 +485,9 @@ def cluster_rochade(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            # 4K frames (wp = 3840) double every scratch plane; the
+            # scoped budget peaks at ~80 MB there (v5e VMEM is 128 MB)
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(thr.reshape(b, 1), skip.astype(jnp.int32), blur)

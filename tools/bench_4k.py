@@ -7,7 +7,12 @@ through the hybrid pipeline. Prints one JSON line.
 
 import json
 import os
+import sys
 import time
+from pathlib import Path
+
+# appended (not prepended): PYTHONPATH=. shadows the TPU relay plugin
+sys.path.append(str(Path(__file__).resolve().parent.parent))
 
 import jax
 
