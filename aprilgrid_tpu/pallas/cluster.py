@@ -82,7 +82,7 @@ def _window_start(ti, hp):
 
 
 def _kernel(
-    thr_ref, skip_ref, blur_hbm, out_ref, cnt_ref, blur_w, lab_ref, fbuf,
+    thr_ref, blur_hbm, out_ref, cnt_ref, blur_w, lab_ref, fbuf,
     rem_ref, rm2_ref, rm3_ref, cur_ref, sem,
     *, h, w, hp2, move_thr, capf,
 ):
@@ -129,16 +129,12 @@ def _kernel(
         cur_ref[0] = jnp.int32(0)
         cur_ref[1] = jnp.int32(0)
 
-    # windows whose response minimum is above the threshold hold no
-    # clusters — skip all compute (the DMA chain above stays in lockstep)
-    @pl.when(skip_ref[bi, ti] == 0)
-    def _window_body():
-        _compute(
-            thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, rem_ref,
-            rm2_ref, rm3_ref, cur_ref,
-            bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-            capf=capf,
-        )
+    _compute(
+        thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, rem_ref,
+        rm2_ref, rm3_ref, cur_ref,
+        bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
+        capf=capf,
+    )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
     # [1] clusters dropped because they touched the member-scan window
@@ -187,6 +183,26 @@ def _compute(
     )
     mask = valid_px & (resp < thr)
 
+    # windows with no below-threshold pixel hold no clusters: skip the
+    # label fixpoint, the fit stencils and the extraction loop entirely
+    # (finer and cheaper than the former XLA tile-min cover pre-pass —
+    # the window's response is already in registers here)
+    @pl.when(jnp.any(mask))
+    def _window_body():
+        _compute_clusters(
+            mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf,
+            rem_ref, rm2_ref, rm3_ref, cur_ref,
+            ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
+            capf=capf,
+        )
+
+
+def _compute_clusters(
+    mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
+    rm2_ref, rm3_ref, cur_ref,
+    *, ti, row0, h, w, hp2, move_thr, capf,
+):
+    wp = blur.shape[1]
     # --- min-index connected-component labels, fixpoint relaxation
     big = jnp.int32(2**30)
     own = grow * w + cloc
@@ -427,7 +443,6 @@ def _compute(
 def cluster_rochade(
     blur: jnp.ndarray,   # (B, Hp, Wp) f32, padded
     thr: jnp.ndarray,    # (B,) f32
-    skip: jnp.ndarray,   # (B, T) int32 — 1 where the window holds no cluster
     h: int,              # true image height
     w: int,              # true image width
     hp2: int = 4,
@@ -436,7 +451,9 @@ def cluster_rochade(
     capf: int = _CAPF,
 ):
     """Accepted candidate saddles, append-compacted per frame in cluster
-    (ascending-label) order.
+    (ascending-label) order. Windows with no below-threshold response
+    pixel skip everything past the in-register Hessian (self-skipping —
+    no precomputed cover needed).
 
     Returns (fields (B, capf, 8) f32: [x, y, k, c3, c4, c5, ok, label+1],
     counters (B, 2) f32: [#appended (== capf signals possible overflow),
@@ -447,7 +464,6 @@ def cluster_rochade(
     assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
     assert wp % 128 == 0
     tiles = -(-h // _BAND)
-    assert skip.shape == (b, tiles)
     nblk = wp // 128
 
     fields, counts = pl.pallas_call(
@@ -456,7 +472,6 @@ def cluster_rochade(
         ),
         grid=(b, tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -490,7 +505,7 @@ def cluster_rochade(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(thr.reshape(b, 1), skip.astype(jnp.int32), blur)
+    )(thr.reshape(b, 1), blur)
     return fields, counts[:, 0, 0:2]
 
 

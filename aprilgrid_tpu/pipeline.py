@@ -105,30 +105,16 @@ def saddle_frontend_batch(
         # ONE kernel (the f32 luma plane never hits HBM) -> clusters +
         # ROCHADE; luma8 stays padded (decode gates on the true size)
         blur_p, luma_u8, tile_min = front_kernel(imgs, consts.blur_sigma)
-        tmin = jnp.min(tile_min, axis=(2, 3))                 # (B, T64)
-        thr = jnp.min(tmin, axis=1) * consts.response_threshold_ratio
-        # per-window skip flags: a _BAND-row band's _WIN-row window spans
-        # several 64-row frontend tiles; if the response minimum over all
-        # of them is above the threshold the window holds no cluster
-        import numpy as _np
-
-        from .pallas.cluster import _BAND as _CB, _WIN as _CW
-
-        hp = blur_p.shape[1]
-        tcl = -(-h // _CB)
-        ncov = _CW // 64 + 2  # tiles a window can touch (8-aligned start)
-        cover = _np.zeros((tcl, ncov), _np.int32)
-        for ti in range(tcl):
-            row0 = min(max(ti * _CB - 8, 0), hp - _CW)
-            lo = row0 // 64
-            hi = min((row0 + _CW - 1) // 64, tile_min.shape[1] - 1)
-            cover[ti] = [min(lo + j, hi) for j in range(ncov)]
-        win_min = jnp.min(tmin[:, jnp.asarray(cover)], axis=2)  # (B, Tc)
-        skip = (win_min >= thr[:, None]).astype(jnp.int32)
+        # threshold = ratio * global response minimum (the only cross-
+        # window dependency; src/detector.rs:414-418) — window skipping
+        # itself happens inside the cluster kernel
+        thr = (
+            jnp.min(tile_min, axis=(1, 2, 3))
+            * consts.response_threshold_ratio
+        )
         fields, _counts = cluster_rochade(
             blur_p,
             thr,
-            skip,
             h,
             w,
             2 * consts.rochade_half_patch,

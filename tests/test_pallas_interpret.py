@@ -95,13 +95,7 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
         luma, 1.5, interpret=True, crop=False, emit_resp=False
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * 0.05
-    from aprilgrid_tpu.pallas.cluster import _BAND
-
-    tiles = -(-h // _BAND)
-    skip = jnp.zeros((1, tiles), jnp.int32)
-    fields, counts = cluster_rochade(
-        blur_p, thr, skip, h, w, 4, 1.0, interpret=True
-    )
+    fields, counts = cluster_rochade(blur_p, thr, h, w, 4, 1.0, interpret=True)
     assert float(counts[0, 0]) < fields.shape[1]  # no overflow on EuRoC
     assert float(counts[0, 1]) == 0  # no blob-size drops on EuRoC
     raw = jax.vmap(saddles_from_candidates)(fields)
@@ -119,7 +113,7 @@ def test_cluster_blob_size_cap_is_signaled_not_silent():
     """A response blob taller than the member-scan window is dropped by
     design (the reference has no such cap) — but the drop must be
     SURFACED via the per-frame drop counter, never silent."""
-    from aprilgrid_tpu.pallas.cluster import _BAND, _SUB, cluster_rochade
+    from aprilgrid_tpu.pallas.cluster import _SUB, cluster_rochade
 
     h, w = 256, 256
     # blur = r*c has lxy = 1, lxx = lyy = 0 => response = -1 at every
@@ -129,10 +123,8 @@ def test_cluster_blob_size_cap_is_signaled_not_silent():
     blur = (r * c)[None]
     assert h > _SUB  # the blob is guaranteed to cross the scan border
     thr = jnp.asarray([-0.05], jnp.float32)
-    tiles = -(-h // _BAND)
-    skip = jnp.zeros((1, tiles), jnp.int32)
     fields, counts = cluster_rochade(
-        jnp.asarray(blur), thr, skip, h, w, 4, 1.0, interpret=True
+        jnp.asarray(blur), thr, h, w, 4, 1.0, interpret=True
     )
     assert float(counts[0, 1]) >= 1, "oversized blob drop must be counted"
     # and nothing bogus was accepted from it
