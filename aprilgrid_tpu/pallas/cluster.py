@@ -3,30 +3,32 @@
 Replaces the XLA label-propagation path (ops/cluster.py + ops/rochade.py)
 whose ~150 whole-image ops dominate device time, and avoids ever
 materializing the Hessian-response plane: the blur plane is swept in
-overlapping ``_WIN``-row (120) windows with ``_BAND``-row (64)
-assignment bands and the response is recomputed in-window (the 3x3
-stencil is free next to the DMA). A saddle response blob is tiny
-(<=~30 px, SURVEY.md), so each cluster is wholly contained in the window
-whose band holds its top-most (minimum linear index) pixel. Per window,
-entirely in VMEM:
+overlapping ``_WIN``-row windows with ``_BAND``-row assignment bands
+and the response is recomputed in-window (the 3x3 stencil is free next
+to the DMA). A saddle response blob is tiny (<=~30 px, SURVEY.md), so
+each cluster is wholly contained in the window whose band holds its
+top-most (minimum linear index) pixel. Per window, entirely in VMEM:
 
 1. Hessian response (bit-identical to the frontend kernel's) and the
-   threshold mask;
+   threshold mask; windows with no masked pixel skip everything below;
 2. min-index label relaxation to a fixpoint; roots extracted in
    ascending label order (the reference's scan-order cluster
-   enumeration), centroids from sub-window masked reductions;
+   enumeration) under a two-level region-minimum pyramid, centroids
+   from sub-window masked reductions;
 3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
-   densely - cone smoothing and the 5 fit coefficients are 25-tap
-   stencils - and sampled at each centroid with the scalar subpixel
-   solve and acceptance gates.
+   densely — cone smoothing (25 taps) then the 5 fit coefficients as
+   SEPARABLE rank-1 stencils (shared 5-tap vertical + 5-tap horizontal
+   passes) — and sampled at each centroid with the scalar subpixel
+   solve and acceptance gates; accepted candidates append-compact into
+   a per-frame buffer with [accepted, dropped] counters.
 
-One blur-window read per tile (~1.3x one image plane of HBM traffic
-total). Clusters spanning more than ~40 rows are dropped (far beyond any
-observed blob; the XLA path has no cap).
+One blur-window read per tile (~1.44x one image plane of HBM traffic
+total). Clusters spanning more than ~40 rows are dropped and COUNTED
+(the XLA path has no cap).
 
 Input must be padded (width a multiple of 128, height a multiple of 8
-and >= 88) with edge-replicated padding -
-`pallas.frontend.fused_frontend(crop=False)` produces exactly this.
+and >= _WIN) with edge-replicated padding —
+`pallas.frontend.front_kernel` produces exactly this.
 """
 
 from __future__ import annotations
