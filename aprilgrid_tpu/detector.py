@@ -285,9 +285,11 @@ class TagDetector:
         ]
 
         # dispatch every chunk's front-end up front (async on device);
-        # saddle downloads happen lazily per chunk so chunk k's host
-        # search overlaps chunk k+1's front-end still running on device
+        # saddle downloads start asynchronously right away (the relay
+        # moves bytes while the host is busy searching earlier chunks)
         fronts = [self._frontend_packed_fn(imgs[lo:hi]) for lo, hi in bounds]
+        for pk, _ in fronts:
+            _copy_to_host_async(pk)
         state: list[dict | None] = [None] * n_chunks
         results: list[dict] = [{} for _ in range(b)]
 
@@ -325,6 +327,7 @@ class TagDetector:
                 fronts[ci][0], fronts[ci][1], jnp.asarray(qarr),
                 hw=hw, dcap=dcap,
             )
+            _copy_to_host_async(dec)
             return quads, dec
 
         def collect(ci, quads, dec):
@@ -343,13 +346,21 @@ class TagDetector:
             used_s = quads[fi, fj].reshape(-1)
             st["alive"][used_i, used_s] = 0
 
+        # Software pipeline across chunks AND board passes: chunk ci's
+        # pass-p decode runs on device (and its result streams back)
+        # while the host searches other chunks; collecting ci's pass-p
+        # result immediately precedes its pass-(p+1) search, so the host
+        # never idles waiting for a whole pass to drain.
+        pending: list[tuple] | None = None
         for _ in range(self.params.max_num_of_boards):
-            pending = []
-            # host search of chunk k overlaps the device decode of k-1
+            nxt = []
             for ci in range(n_chunks):
-                pending.append((ci,) + search_and_dispatch(ci))
-            for ci, quads, dec in pending:
-                collect(ci, quads, dec)
+                if pending is not None:
+                    collect(*pending[ci])
+                nxt.append((ci,) + search_and_dispatch(ci))
+            pending = nxt
+        for item in pending:
+            collect(*item)
         return results
 
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
@@ -368,6 +379,16 @@ class TagDetector:
                 )
             )
         return out
+
+
+def _copy_to_host_async(arr) -> None:
+    """Start a device->host copy without blocking (no-op where the
+    backend lacks the API); a later np.asarray then finds the bytes
+    already resident instead of paying the relay round trip inline."""
+    try:
+        arr.copy_to_host_async()
+    except (AttributeError, NotImplementedError):
+        pass
 
 
 def _unpack_result(res: DetectResult) -> dict[int, list[tuple[float, float]]]:

@@ -51,7 +51,10 @@ _WIN = 184      # window rows = 8 top context + band + 48 blob headroom
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
 _CAPF = 1024    # accepted-candidate capacity PER FRAME (append-compacted)
 _MAX_ROOTS = 8192  # per-window extraction guard (pathological scenes)
-_SUB = 48       # member-scan row window per cluster (>= max blob height)
+_SUB = 40       # member-scan row window per cluster: root row lands in
+                # [0, 7] after 8-alignment, so 40 rows cover blobs up to
+                # 32 rows tall (observed max 29; taller blobs hit the
+                # surfaced drop counter)
 _SUBW = 256     # member-scan lane window per cluster (>= max blob width)
 
 
@@ -285,10 +288,15 @@ def _compute_clusters(
     blk_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, nblk), 1)
     blk_iota1 = jax.lax.broadcasted_iota(jnp.int32, (1, nblk), 1)
 
-    def pick(fi, lr8, cb, onehot):
-        # point lookup from one aligned (8, 128) block (dynamic VMEM
-        # loads must be 8/128-aligned; the one-hot selects within it)
-        return jnp.sum(fbuf[fi, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot)
+    def pick5(lr8, cb, onehot):
+        # point lookup of all 5 fit coefficients from ONE aligned
+        # (5, 8, 128) dynamic load (dynamic VMEM loads must be
+        # 8/128-aligned; the one-hot selects within the block) — one
+        # address generation instead of five. The reductions stay
+        # per-plane scalars: Mosaic cannot extract lanes of a (5,)
+        # reduced vector (vector.extract layout restriction)
+        v = fbuf[:, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot[None, :, :]
+        return [jnp.sum(v[j]) for j in range(5)]
 
     # Root extraction: pull remaining root labels in ascending order.
     # `rem` (the yet-unextracted root labels) lives in a scratch ref
@@ -297,9 +305,11 @@ def _compute_clusters(
     # touches one (8, 128) region plus two tiny table rows instead of
     # sweeping the window (which dominated the kernel at ~10 us x
     # #clusters when `rem` was a loop-carried array).
-    # loop-invariant member-scan iotas, hoisted out of the hot loop
+    # loop-invariant member-scan iotas/masks, hoisted out of the hot loop
     subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
-    subcol = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 1)
+    subcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, _SUBW), 1)
+    lane_first = (subcol1 == 0).astype(jnp.int32)
+    lane_last = (subcol1 == _SUBW - 1).astype(jnp.int32)
 
     def sbody(state):
         s, lbl = state
@@ -317,25 +327,31 @@ def _compute_clusters(
         cstart = pl.multiple_of(cstart, 128)
         sub = lab_ref[pl.ds(lroot, _SUB), pl.ds(cstart, _SUBW)]
         member = (sub == lbl).astype(jnp.int32)
-        # pack the pixel count (< 2^14) and the border-contact count into
-        # ONE integer reduction; clusters touching the scan border that
-        # could continue beyond it are dropped (bad) — the counts fit:
-        # cnt <= 48*256, border pixels <= 2*256+2*48
+        # column marginal first (sublane-direction adds are cheap); the
+        # count, x-sum and lateral border contacts then reduce over a
+        # single (1, _SUBW) row instead of the full window — only the
+        # y-sum still needs a full-window multiply-reduce
+        colsum = jnp.sum(member, axis=0, keepdims=True)      # (1, _SUBW)
+        cnt_i = jnp.sum(colsum)
+        scol = jnp.sum(colsum * subcol1)
+        srow = jnp.sum(member * subrow)
+        # border contact => the blob may continue outside the scan
+        # window => drop (counted). Bottom from the last-2-row slice,
+        # left/right from the column marginal's edge lanes.
         last_global = row0 + lroot + _SUB - 1
-        border = (
-            ((subrow >= _SUB - 2) & (last_global < h - 1))
-            | ((subcol == 0) & (cstart > 0))
-            | ((subcol == _SUBW - 1) & (cstart + _SUBW < w))
+        bot = jnp.sum(member[_SUB - 2 :, :]) > 0
+        lft = jnp.sum(colsum * lane_first) > 0
+        rgt = jnp.sum(colsum * lane_last) > 0
+        bad = (
+            (bot & (last_global < h - 1))
+            | (lft & (cstart > 0))
+            | (rgt & (cstart + _SUBW < w))
         )
-        packed = jnp.sum(member * (1 + (border.astype(jnp.int32) << 14)))
-        cnt = (packed & 16383).astype(jnp.float32)
-        bad = (packed >> 14) > 0
-        cx = jnp.sum(member * subcol).astype(jnp.float32) / cnt + cstart.astype(
+        cnt = cnt_i.astype(jnp.float32)
+        cx = scol.astype(jnp.float32) / cnt + cstart.astype(jnp.float32)
+        cy = srow.astype(jnp.float32) / cnt + (row0 + lroot).astype(
             jnp.float32
         )
-        cy = jnp.sum(member * subrow).astype(jnp.float32) / cnt + (
-            row0 + lroot
-        ).astype(jnp.float32)
 
         # reference rust_round (coords are non-negative here)
         rx = jnp.floor(cx + 0.5).astype(jnp.int32)
@@ -354,11 +370,7 @@ def _compute_clusters(
         ).astype(jnp.float32)
 
         # scalar ROCHADE math (reference src/detector.rs:330-356)
-        a1 = pick(0, lr8, cb, onehot)
-        a2 = pick(1, lr8, cb, onehot)
-        a3 = pick(2, lr8, cb, onehot)
-        a4 = pick(3, lr8, cb, onehot)
-        a5 = pick(4, lr8, cb, onehot)
+        a1, a2, a3, a4, a5 = pick5(lr8, cb, onehot)
         d = (2.0 * a1) * (2.0 * a3) - a2 * a2
         safe_d = jnp.where(d == 0, 1.0, d)
         x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
