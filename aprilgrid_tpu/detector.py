@@ -250,11 +250,14 @@ class TagDetector:
         return _unpack_result(jax.tree.map(np.asarray, res))
 
     def detect_batch(
-        self, imgs: np.ndarray
+        self, imgs: np.ndarray, chunk: int | None = None
     ) -> list[dict[int, list[tuple[float, float]]]]:
-        """Detect over a batch of same-shape frames (vmap over axis 0)."""
+        """Detect over a batch of same-shape frames (vmap over axis 0).
+
+        ``chunk`` sizes the hybrid software pipeline's sub-batches
+        (default: env ``AG_CHUNK`` or 64); ignored in xla mode."""
         if self.mode == "hybrid":
-            return self._detect_hybrid(jnp.asarray(imgs))
+            return self._detect_hybrid(jnp.asarray(imgs), chunk=chunk)
         res = self._detect_batch_fn(jnp.asarray(imgs))
         res = jax.tree.map(np.asarray, res)
         return [
@@ -263,7 +266,7 @@ class TagDetector:
         ]
 
     def _detect_hybrid(
-        self, imgs: np.ndarray, chunk: int = 64
+        self, imgs: np.ndarray, chunk: int | None = None
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Hybrid runtime (see native/search.cpp): TPU dense front-end,
         native C++ board search on the tiny saddle arrays, TPU decode.
@@ -272,8 +275,12 @@ class TagDetector:
         Batches are processed in chunks as a software pipeline so the
         single-core host search overlaps with async device decode work.
         """
+        import os
+
         from . import native
 
+        if chunk is None:
+            chunk = int(os.environ.get("AG_CHUNK", "64"))
         b = imgs.shape[0]
         hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2

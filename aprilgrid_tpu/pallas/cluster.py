@@ -11,10 +11,11 @@ top-most (minimum linear index) pixel. Per window, entirely in VMEM:
 
 1. Hessian response (bit-identical to the frontend kernel's) and the
    threshold mask; windows with no masked pixel skip everything below;
-2. min-index label relaxation to a fixpoint; roots extracted in
-   ascending label order (the reference's scan-order cluster
-   enumeration) under a two-level region-minimum pyramid, centroids
-   from sub-window masked reductions;
+2. min-index label relaxation to a fixpoint; roots drained
+   region-by-region (ascending region minima, then ascending within
+   each (8, 128) region) over loop-carried registers — scan order is
+   restored downstream by one XLA sort on the stored labels; centroids
+   come from sub-window masked reductions;
 3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
    densely — cone smoothing (25 taps) then the 5 fit coefficients as
    SEPARABLE rank-1 stencils (shared 5-tap vertical + 5-tap horizontal
@@ -208,9 +209,15 @@ def _compute_clusters(
     *, ti, row0, h, w, hp2, move_thr, capf,
 ):
     wp = blur.shape[1]
-    # --- min-index connected-component labels, fixpoint relaxation
+    # --- min-index connected-component labels, fixpoint relaxation.
+    # Labels pack (row, col) as (row << 16) | col instead of row*w + col:
+    # the packing is monotonic in scan order (col < w <= 3840 < 2^16), so
+    # every min/sort semantic is identical, and unpacking in the hot
+    # extraction loop is a shift/mask instead of scalar div/mod by the
+    # non-power-of-2 w (measured: the two emulated divisions cost ~0.2 us
+    # of the ~0.75 us per-root loop iteration)
     big = jnp.int32(2**30)
-    own = grow * w + cloc
+    own = (grow << 16) | cloc
     init = jnp.where(mask, own, big)
 
     def relax(lab):
@@ -285,8 +292,6 @@ def _compute_clusters(
     iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     nblk = wp // 128
-    blk_iota8 = jax.lax.broadcasted_iota(jnp.int32, (8, nblk), 1)
-    blk_iota1 = jax.lax.broadcasted_iota(jnp.int32, (1, nblk), 1)
 
     def pick5(lr8, cb, onehot):
         # point lookup of all 5 fit coefficients from ONE aligned
@@ -298,31 +303,35 @@ def _compute_clusters(
         v = fbuf[:, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot[None, :, :]
         return [jnp.sum(v[j]) for j in range(5)]
 
-    # Root extraction: pull remaining root labels in ascending order.
-    # `rem` (the yet-unextracted root labels) lives in a scratch ref
-    # under a two-level minimum pyramid — rm2 = min per (row, 128-lane
-    # block), rm3 = min per (8-row group, block) — so each iteration
-    # touches one (8, 128) region plus two tiny table rows instead of
-    # sweeping the window (which dominated the kernel at ~10 us x
-    # #clusters when `rem` was a loop-carried array).
+    # Root extraction, two-level region drain. The yet-unextracted root
+    # labels live in `rem_ref`; rm3 = min label per (8-row, 128-lane)
+    # region. The OUTER loop walks regions in ascending-min order over a
+    # loop-carried rm3 VALUE (mask one entry + small min tree per
+    # region); the INNER loop drains one region's roots over a
+    # loop-carried (8, 128) register (compare + one short min tree per
+    # root). Measured: per-root pyramid maintenance in VMEM (clear
+    # region ref -> row mins -> rm2 -> rm3 -> global min) was ~85% of
+    # the old loop's 0.85 us/cluster — the member scan and coefficient
+    # picks are latency-hidden behind it. Roots therefore come out in
+    # region-major (NOT global scan) order; `saddles_from_candidates`
+    # restores the reference's ascending-label enumeration with one
+    # cheap XLA sort over the compacted rows.
     # loop-invariant member-scan iotas/masks, hoisted out of the hot loop
     subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
     subcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, _SUBW), 1)
     lane_first = (subcol1 == 0).astype(jnp.int32)
     lane_last = (subcol1 == _SUBW - 1).astype(jnp.int32)
 
-    def sbody(state):
-        s, lbl = state
-        # the label IS the root's linear index: its region is derivable
-        lrow = jnp.clip(lbl // w - row0, 0, _WIN - 1)
-        g = lrow // 8
-        bb = (lbl % w) // 128
-        # member scan over a 48-row x 256-lane window around the root
+    def process_root(lbl, en):
+        # member scan over a _SUB-row x 256-lane window around the root
         # (blobs span <= ~30 px; anything touching the scan border that
-        # could continue beyond it is dropped below)
-        lroot = jnp.clip(lbl // w - row0, 0, _WIN - _SUB)
+        # could continue beyond it is dropped below). ``en`` masks the
+        # whole root off (used to process two roots per drain iteration
+        # branchlessly — a disabled root's loads hit clamped addresses
+        # and its gates force reject)
+        lroot = jnp.clip((lbl >> 16) - row0, 0, _WIN - _SUB)
         lroot = pl.multiple_of((lroot // 8) * 8, 8)
-        croot = lbl % w
+        croot = lbl & 0xFFFF
         cstart = jnp.clip(((croot - 64) // 128) * 128, 0, wp - _SUBW)
         cstart = pl.multiple_of(cstart, 128)
         sub = lab_ref[pl.ds(lroot, _SUB), pl.ds(cstart, _SUBW)]
@@ -373,20 +382,26 @@ def _compute_clusters(
         a1, a2, a3, a4, a5 = pick5(lr8, cb, onehot)
         d = (2.0 * a1) * (2.0 * a3) - a2 * a2
         safe_d = jnp.where(d == 0, 1.0, d)
-        x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
-        y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
-        c5 = (a1 + a3) / 2.0
-        c4 = (a1 - a3) / 2.0
-        c3 = a2 / 2.0
-        kk = jnp.sqrt(c4 * c4 + c3 * c3)
+        # one reciprocal + two multiplies instead of two scalar divides;
+        # *0.5 is exact. The |c5| < k gate compares squares (equivalent
+        # for non-negative magnitudes), so the scalar sqrt moves out of
+        # the loop entirely — k is recomputed from the stored (c3, c4)
+        # in saddles_from_candidates, same f32 formula, bit-identical.
+        rd = 1.0 / safe_d
+        x0 = (-2.0 * a3 * a4 + a2 * a5) * rd
+        y0 = (-2.0 * a1 * a5 + a2 * a4) * rd
+        c5 = (a1 + a3) * 0.5
+        c4 = (a1 - a3) * 0.5
+        c3 = a2 * 0.5
         ok = (
-            in_b
+            en
+            & in_b
             & ~bad
             & margin_ok
             & (d < 0.0)
             & (jnp.abs(x0) <= move_thr)
             & (jnp.abs(y0) <= move_thr)
-            & (jnp.abs(c5) < kk)
+            & (c5 * c5 < c3 * c3 + c4 * c4)
         )
         # append accepted candidates only (rejected ones are ignored by
         # every consumer, so compacting here keeps the per-frame buffer
@@ -397,6 +412,7 @@ def _compute_clusters(
         # by its ok column downstream).
         cur = cur_ref[0]
         app = ok & (cur < capf)
+        scan_lbl = (lbl >> 16) * w + (lbl & 0xFFFF)
         # angles (theta/phi via atan2/acos) are NOT computed here: the
         # few-thousand compacted rows get them in one cheap XLA pass
         # (saddles_from_candidates) instead of per loop iteration
@@ -404,34 +420,60 @@ def _compute_clusters(
             [
                 (rx.astype(jnp.float32) + x0).reshape(1, 1),
                 (ry.astype(jnp.float32) + y0).reshape(1, 1),
-                kk.reshape(1, 1),
+                jnp.float32(0.0).reshape(1, 1),  # k derived downstream
                 c3.reshape(1, 1),
                 c4.reshape(1, 1),
                 c5.reshape(1, 1),
                 jnp.where(ok, 1.0, 0.0).reshape(1, 1),
-                (lbl.astype(jnp.float32) + 1.0).reshape(1, 1),
+                # stored label = scan-order linear index (row*w + col):
+                # exact in f32 up to 2^24 (4K is ~8.3M), unlike the
+                # packed (row<<16)|col form (~141M); one multiply here
+                # vs a div/mod in every downstream consumer
+                (scan_lbl.astype(jnp.float32) + 1.0).reshape(1, 1),
             ],
             axis=1,
         )
         out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals
         cur_ref[0] = cur + app.astype(jnp.int32)
-        cur_ref[1] = cur_ref[1] + bad.astype(jnp.int32)
+        cur_ref[1] = cur_ref[1] + (bad & en).astype(jnp.int32)
 
-        # clear this label from its (8, 128) region; refresh the pyramid
-        g8 = pl.multiple_of(g * 8, 8)
-        c128 = pl.multiple_of(bb * 128, 128)
-        reg = rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)]
-        reg = jnp.where(reg == lbl, big, reg)
-        rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)] = reg
-        rowmins = jnp.min(reg, axis=1, keepdims=True)          # (8, 1)
-        r2 = rm2_ref[pl.ds(g8, 8), :]
-        rm2_ref[pl.ds(g8, 8), :] = jnp.where(blk_iota8 == bb, rowmins, r2)
-        m8 = jnp.min(rowmins)
-        r3 = rm3_ref[pl.ds(g, 1), :]
-        rm3_ref[pl.ds(g, 1), :] = jnp.where(
-            blk_iota1 == bb, m8.reshape(1, 1), r3
+    def drain_region(state):
+        nproc, rm3v, m = state
+        # region of the current global-min root label
+        lr_m = jnp.clip((m >> 16) - row0, 0, _WIN - 1)
+        g8 = pl.multiple_of(jnp.clip((lr_m // 8) * 8, 0, _WIN - 8), 8)
+        c128 = pl.multiple_of(
+            jnp.clip(((m & 0xFFFF) // 128) * 128, 0, wp - 128), 128
         )
-        return s + 1, jnp.min(rm3_ref[:, :])
+        reg0 = rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)]
+
+        def ibody(istate):
+            # two roots per iteration, branchless: their scan/fit chains
+            # share no data, so the in-order machine overlaps their
+            # load/reduce latencies; the second slot is masked off when
+            # the region has an odd remainder
+            iproc, reg, lbl = istate
+            reg2 = jnp.where(reg == lbl, big, reg)
+            lbl2 = jnp.min(reg2)
+            en2 = lbl2 < big
+            process_root(lbl, jnp.bool_(True))
+            process_root(lbl2, en2)
+            reg3 = jnp.where(reg2 == lbl2, big, reg2)
+            return (
+                iproc + 1 + en2.astype(jnp.int32),
+                reg3,
+                jnp.min(reg3),
+            )
+
+        nproc, _, _ = lax.while_loop(
+            lambda st: (st[0] < _MAX_ROOTS) & (st[2] < big),
+            ibody,
+            (nproc, reg0, m),
+        )
+        # the region is fully drained and never revisited: mask its rm3
+        # entry (m is unique — labels are distinct linear indices)
+        rm3v = jnp.where(rm3v == m, big, rm3v)
+        return nproc, rm3v, jnp.min(rm3v)
 
     rem0 = jnp.where(root, own, big)
     rem_ref[:, :] = rem0
@@ -444,10 +486,11 @@ def _compute_clusters(
         rm3_ref[g : g + 1, :] = jnp.min(
             rm2v[8 * g : 8 * (g + 1), :], axis=0, keepdims=True
         )
+    rm3v0 = rm3_ref[:, :]
     lax.while_loop(
-        lambda st: (st[0] < _MAX_ROOTS) & (st[1] < big),
-        sbody,
-        (jnp.int32(0), jnp.min(rm3_ref[:, :])),
+        lambda st: (st[0] < _MAX_ROOTS) & (st[2] < big),
+        drain_region,
+        (jnp.int32(0), rm3v0, jnp.min(rm3v0)),
     )
 
 
@@ -464,10 +507,12 @@ def cluster_rochade(
     interpret: bool = False,
     capf: int = _CAPF,
 ):
-    """Accepted candidate saddles, append-compacted per frame in cluster
-    (ascending-label) order. Windows with no below-threshold response
-    pixel skip everything past the in-register Hessian (self-skipping —
-    no precomputed cover needed).
+    """Accepted candidate saddles, append-compacted per frame in
+    region-drain order (each row carries its cluster label; sort by
+    label downstream for the reference's scan-order enumeration —
+    `saddles_from_candidates` does). Windows with no below-threshold
+    response pixel skip everything past the in-register Hessian
+    (self-skipping — no precomputed cover needed).
 
     Returns (fields (B, capf, 8) f32: [x, y, k, c3, c4, c5, ok, label+1],
     counters (B, 2) f32: [#appended (== capf signals possible overflow),
@@ -526,15 +571,25 @@ def cluster_rochade(
 def saddles_from_candidates(fields: jnp.ndarray) -> Saddles:
     """Per-frame candidate array -> Saddles SoA (pre k/phi gates).
 
-    Append order is (tile, ascending label) = global ascending label =
-    the reference's scan-order cluster enumeration (compaction keeps the
-    accepted subsequence in the same relative order). The kernel stores
-    the raw quadric coefficients (c3, c4, c5); the angles (reference
-    src/detector.rs:344-353) are derived here, once per compacted row.
+    The kernel appends per tile in region-major drain order, NOT global
+    label order; one sort over the compacted rows by (stored label, with
+    invalid rows keyed to +inf) restores the reference's scan-order
+    cluster enumeration (src/detector.rs:171-187) exactly — labels are
+    ascending linear pixel indices and each tile owns a disjoint,
+    ascending row band, so ascending label == scan order. The kernel
+    stores the raw quadric coefficients (c3, c4, c5); the angles
+    (reference src/detector.rs:344-353) are derived here, once per
+    compacted row.
     """
     valid = (fields[:, 7] > 0.5) & (fields[:, 6] > 0.5)
-    k = fields[:, 2]
+    key = jnp.where(valid, fields[:, 7], jnp.inf)
+    order = jnp.argsort(key)
+    fields = fields[order]
+    valid = valid[order]
     c3, c4, c5 = fields[:, 3], fields[:, 4], fields[:, 5]
+    # k = sqrt(c4^2 + c3^2) (src/detector.rs:344) — hoisted out of the
+    # kernel's per-root loop; same f32 expression, bit-identical
+    k = jnp.sqrt(c4 * c4 + c3 * c3)
     safe_k = jnp.where(k == 0, 1.0, k)
     theta = jnp.degrees(jnp.arctan2(c3, c4) / 2.0)
     phi = jnp.degrees(jnp.arccos(jnp.clip(-c5 / safe_k, -1.0, 1.0)) / 2.0)
