@@ -191,11 +191,16 @@ struct SpatialGrid {
     }
     out.clear();
     const auto& saddles = *pts;
+    const int total = (int)items.size();
     int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
     int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
-    int max_ring = nx + ny;
+    // beyond this ring every cell is out of bounds; without the clamp a
+    // query that can never satisfy k (fewer than k alive points — the
+    // common case in board pass 2) walked (nx+ny)^2-ish empty rings and
+    // dominated the whole host search (gprof: 76% in the cell visitor)
+    int max_ring =
+        std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
     auto scan_cell = [&](int gx, int gy) {
-      if (gx < 0 || gx >= nx || gy < 0 || gy >= ny) return;
       size_t c = (size_t)gy * nx + gx;
       for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
         int i = items[ii];
@@ -204,19 +209,22 @@ struct SpatialGrid {
       }
     };
     for (int ring = 0; ring <= max_ring; ++ring) {
-      int xa = cx - ring, xb = cx + ring, ya = cy - ring, yb = cy + ring;
+      int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
+      int ya = cy - ring, yb = cy + ring;
       if (ring == 0) {
         scan_cell(cx, cy);
       } else {
-        for (int gx = xa; gx <= xb; ++gx) {  // top and bottom rows
-          scan_cell(gx, ya);
-          scan_cell(gx, yb);
-        }
-        for (int gy = ya + 1; gy <= yb - 1; ++gy) {  // side columns
-          scan_cell(xa, gy);
-          scan_cell(xb, gy);
-        }
+        if (ya >= 0)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);  // top row
+        if (yb < ny)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);  // bottom
+        int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
+        if (cx - ring >= 0)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+        if (cx + ring < nx)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
       }
+      if ((int)out.size() >= total) break;  // every point collected
       if ((int)out.size() >= k) {
         std::partial_sort(out.begin(), out.begin() + k, out.end());
         // guaranteed-complete radius after ring r is (r-1) cells (the
@@ -235,17 +243,21 @@ struct SpatialGrid {
   void knn_small(float qx, float qy, int k,
                  std::vector<std::pair<float, int>>& out) const {
     const auto& saddles = *pts;
+    const int total = (int)items.size();
     float bd[4] = {1e30f, 1e30f, 1e30f, 1e30f};
     int bi[4] = {-1, -1, -1, -1};
-    int n0 = 0;
+    int n0 = 0, visited = 0;
     int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
     int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
-    int max_ring = nx + ny;
+    // see knn(): clamp to the last in-bounds ring and stop once every
+    // stored point has been visited (k may exceed the alive count)
+    int max_ring =
+        std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
     auto scan_cell = [&](int gx, int gy) {
-      if (gx < 0 || gx >= nx || gy < 0 || gy >= ny) return;
       size_t c = (size_t)gy * nx + gx;
       for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
         int i = items[ii];
+        ++visited;
         float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
         float d = dx * dx + dy * dy;
         if (n0 == k && d >= bd[k - 1]) continue;
@@ -261,19 +273,22 @@ struct SpatialGrid {
       }
     };
     for (int ring = 0; ring <= max_ring; ++ring) {
-      int xa = cx - ring, xb = cx + ring, ya = cy - ring, yb = cy + ring;
+      int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
+      int ya = cy - ring, yb = cy + ring;
       if (ring == 0) {
         scan_cell(cx, cy);
       } else {
-        for (int gx = xa; gx <= xb; ++gx) {
-          scan_cell(gx, ya);
-          scan_cell(gx, yb);
-        }
-        for (int gy = ya + 1; gy <= yb - 1; ++gy) {
-          scan_cell(xa, gy);
-          scan_cell(xb, gy);
-        }
+        if (ya >= 0)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);
+        if (yb < ny)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);
+        int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
+        if (cx - ring >= 0)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+        if (cx + ring < nx)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
       }
+      if (visited >= total) break;
       if (n0 == k && ring >= 1) {
         float safe = (float)(ring - 1) * cell;
         if (bd[k - 1] <= safe * safe) break;
