@@ -280,7 +280,11 @@ class TagDetector:
         from . import native
 
         if chunk is None:
-            chunk = int(os.environ.get("AG_CHUNK", "64"))
+            # 32-frame chunks pipeline best on the measured relay (finer
+            # host/device interleave beats fewer dispatches; chunk=128
+            # serializes host search against the front-end: 181 vs 250
+            # fps at batch 128)
+            chunk = int(os.environ.get("AG_CHUNK", "32"))
         b = imgs.shape[0]
         hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2
