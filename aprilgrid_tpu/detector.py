@@ -295,17 +295,30 @@ class TagDetector:
             for i in range(n_chunks)
         ]
 
-        # dispatch every chunk's front-end up front (async on device);
-        # saddle downloads start asynchronously right away (the relay
-        # moves bytes while the host is busy searching earlier chunks)
-        fronts = [self._frontend_packed_fn(imgs[lo:hi]) for lo, hi in bounds]
-        for pk, _ in fronts:
-            _copy_to_host_async(pk)
+        # Front-ends are dispatched LAZILY, two chunks ahead of the host
+        # search: the device executes in dispatch order, so dispatching
+        # all front-ends up front would queue every decode behind the
+        # last front-end and the whole 2-pass decode/search tail would
+        # drain after it. With a 2-chunk lookahead, chunk ci's pass-1
+        # decode slots between fe(ci+1) and fe(ci+2) and the tail
+        # shrinks to the last chunk's own chain. Saddle downloads start
+        # asynchronously right at dispatch.
+        fronts: list[tuple | None] = [None] * n_chunks
+
+        def ensure_fe(ci):
+            if 0 <= ci < n_chunks and fronts[ci] is None:
+                lo, hi = bounds[ci]
+                fronts[ci] = self._frontend_packed_fn(imgs[lo:hi])
+                _copy_to_host_async(fronts[ci][0])
+
+        ensure_fe(0)
+        ensure_fe(1)
         state: list[dict | None] = [None] * n_chunks
         results: list[dict] = [{} for _ in range(b)]
 
         def chunk_state(ci):
             if state[ci] is None:
+                ensure_fe(ci)
                 pk = np.asarray(fronts[ci][0])  # one transfer: (b, N, 4)
                 state[ci] = {
                     "sp": np.ascontiguousarray(pk[..., 0:2]),
@@ -363,12 +376,14 @@ class TagDetector:
         # result immediately precedes its pass-(p+1) search, so the host
         # never idles waiting for a whole pass to drain.
         pending: list[tuple] | None = None
-        for _ in range(self.params.max_num_of_boards):
+        for p in range(self.params.max_num_of_boards):
             nxt = []
             for ci in range(n_chunks):
                 if pending is not None:
                     collect(*pending[ci])
                 nxt.append((ci,) + search_and_dispatch(ci))
+                if p == 0:
+                    ensure_fe(ci + 2)  # keep the device 2 chunks ahead
             pending = nxt
         for item in pending:
             collect(*item)
