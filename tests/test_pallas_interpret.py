@@ -107,6 +107,13 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
     ref_p = np.array(sorted(tuple(x.p) for x in ref))
     got_p = np.array(sorted(map(tuple, got)))
     np.testing.assert_allclose(got_p, ref_p, atol=1e-3)
+    # ORDER parity, not just set parity: the kernel drains clusters in
+    # region-major order and the tail's label argsort must restore the
+    # reference's scan-order enumeration exactly (seed order and
+    # capacity truncation downstream are order-sensitive)
+    np.testing.assert_allclose(
+        np.asarray(got), np.array([x.p for x in ref]), atol=1e-3
+    )
 
 
 def test_cluster_blob_size_cap_is_signaled_not_silent():
