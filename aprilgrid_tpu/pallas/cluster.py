@@ -221,10 +221,15 @@ def _compute_clusters(
     init = jnp.where(mask, own, big)
 
     def relax(lab):
-        upl = jnp.where(rloc == 0, big, pltpu.roll(lab, _WIN - 1, 0))
-        downl = jnp.where(rloc == _WIN - 1, big, pltpu.roll(lab, 1, 0))
-        leftl = jnp.where(cloc == 0, big, pltpu.roll(lab, wp - 1, 1))
-        rightl = jnp.where(cloc == wp - 1, big, pltpu.roll(lab, 1, 1))
+        # no boundary guards needed: `mask` excludes window edge rows
+        # and cols (and everything >= w-1 incl. padding), so edge labels
+        # are ALWAYS `big` and a wrap-around roll can only deliver
+        # `big` — it can never corrupt the min. Dropping the four
+        # guard compare+selects nearly halves the relax sweep.
+        upl = pltpu.roll(lab, _WIN - 1, 0)
+        downl = pltpu.roll(lab, 1, 0)
+        leftl = pltpu.roll(lab, wp - 1, 1)
+        rightl = pltpu.roll(lab, 1, 1)
         m = jnp.minimum(jnp.minimum(upl, downl), jnp.minimum(leftl, rightl))
         return jnp.where(mask, jnp.minimum(lab, m), big)
 
