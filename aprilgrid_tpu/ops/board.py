@@ -45,6 +45,10 @@ class BoardState(NamedTuple):
     failed: jnp.ndarray     # (G2,) bool — attempted but not (yet) placed
     active: jnp.ndarray     # (N,) bool — saddles still claimable
     score: jnp.ndarray      # () int32 — number of placed cells
+    pruned: jnp.ndarray     # () int32 — expansion attempts whose k-NN
+    #                         pool provably may have missed a true 3-NN
+    #                         (density-assumption overflow — see
+    #                         propose_expansions; 0 on all bundled data)
 
 
 @functools.lru_cache(maxsize=None)
@@ -155,6 +159,24 @@ def propose_expansions(
         & (theta_distance_degree(t[..., None], saddles.theta[idx]) < 5.0)
     )
 
+    # Density-assumption audit (the reference searches a true kd-tree;
+    # this recast prunes to the endpoint's k-NN pool). The pool provably
+    # contains every saddle inside the target's gate radius when
+    # dist(endpoint, target) + gate_radius <= pool radius (triangle
+    # inequality), or when the pool already holds every alive saddle.
+    # Violations are COUNTED so a parity break on pathological densities
+    # is detectable rather than silent (0 on all bundled data).
+    endpoints = jnp.stack([p[:, 1], p[:, 1], p[:, 2], p[:, 2]], axis=1)
+    d2_ep = jnp.sum((pool_p - endpoints[:, :, None, :]) ** 2, axis=-1)
+    r2_pool = jnp.max(jnp.where(alive[pool], d2_ep, 0.0), axis=-1)
+    reach = jnp.sqrt(
+        jnp.sum((targets - endpoints) ** 2, axis=-1)
+    ) + jnp.sqrt(radius_sq)
+    covered = (reach * reach <= r2_pool) | (
+        jnp.sum(alive) <= pool.shape[-1]
+    )
+    pool_overflow = (~covered).any(axis=-1)  # (P,)
+
     # compact each 3-candidate list (reference iterates passing entries
     # in distance order, src/board.rs:197-232)
     order = jnp.argsort(~ok, axis=-1, stable=True)
@@ -171,7 +193,7 @@ def propose_expansions(
     new_quads = jnp.take_along_axis(
         cand, first[:, None, None].repeat(4, -1), axis=1
     )[:, 0]
-    return new_quads, cand_ok.any(axis=-1)
+    return new_quads, cand_ok.any(axis=-1), pool_overflow
 
 
 def grow_board(
@@ -208,7 +230,7 @@ def grow_board(
     active = active_in & ~(seed_used & seed_valid)
 
     def sweep(state):
-        cell_quad, placed, failed, active, _, it = state
+        cell_quad, placed, failed, active, _, it, pruned = state
 
         # frontier attempts: placed cell x direction with an untried
         # target, in cell-major / direction-minor priority order. Cells
@@ -233,8 +255,11 @@ def grow_board(
         rot_ix = (d[:, None] + jnp.arange(4)[None, :]) % 4
         rot = jnp.take_along_axis(cell_quad[cell], rot_ix, axis=1)
 
-        new_q, valid = propose_expansions(saddles, knn, alive, rot, active, spacing_ratio)
+        new_q, valid, pool_ovf = propose_expansions(
+            saddles, knn, alive, rot, active, spacing_ratio
+        )
         valid &= live
+        pruned = pruned + jnp.sum(pool_ovf & live).astype(jnp.int32)
         # rotate back right by d before storing (src/board.rs:138-139)
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
         quad = jnp.take_along_axis(new_q, unrot_ix, axis=1)
@@ -263,14 +288,20 @@ def grow_board(
         # frontier exceeded max_attempts — truncation is then a deferral,
         # not a silent drop)
         progressed = accept.any() | (new_failed != failed).any()
-        return cell_quad, placed, new_failed, active, progressed, it + 1
+        return (
+            cell_quad, placed, new_failed, active, progressed, it + 1,
+            pruned,
+        )
 
     def cond(state):
         return state[4] & (state[5] < max_sweeps)
 
-    init = (cell_quad, placed, failed, active, seed_valid, jnp.int32(0))
+    init = (
+        cell_quad, placed, failed, active, seed_valid, jnp.int32(0),
+        jnp.int32(0),
+    )
     state = lax.while_loop(cond, sweep, init)
-    cell_quad, placed, failed, active, _, _ = state
+    cell_quad, placed, failed, active, _, _, pruned = state
     failed &= ~placed
     return BoardState(
         cell_quad=cell_quad,
@@ -278,6 +309,7 @@ def grow_board(
         failed=failed,
         active=active,
         score=placed.sum().astype(jnp.int32),
+        pruned=pruned,
     )
 
 

@@ -80,6 +80,7 @@ def find_best_board(
             failed=jnp.zeros(g2, bool),
             active=alive,
             score=jnp.int32(0),
+            pruned=jnp.int32(0),
         )
 
     def group_body(state):

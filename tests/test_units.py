@@ -163,3 +163,50 @@ def test_family_from_str_roundtrip():
         assert TagFamily.from_str(name.upper()).value == name
     with pytest.raises(ValueError):
         TagFamily.from_str("t99h9")
+
+
+def test_knn_pool_covers_expansion_radius_on_golden(data_dir):
+    """ADVICE round-1 #5: the XLA search prunes expansion candidates to
+    a 64-NN pool — a density assumption the reference (true kd-tree)
+    does not share. The pruned counter must certify coverage (0) on
+    real board data, so a pathological density would be DETECTED."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES as C
+    from aprilgrid_tpu.oracle import numpy_ref as R
+    from aprilgrid_tpu.ops.rochade import Saddles
+    from aprilgrid_tpu.ops.search import find_best_board
+
+    img = R.load_image(str(data_dir / "EuRoC.png"))
+    ref = R.refined_saddle_points(img)
+    n = 768
+    p = np.zeros((n, 2), np.float32)
+    th = np.zeros(n, np.float32)
+    valid = np.zeros(n, bool)
+    for i, s in enumerate(ref[:n]):
+        p[i] = s.p
+        th[i] = s.theta
+        valid[i] = True
+    saddles = Saddles(
+        p=jnp.asarray(p),
+        k=jnp.zeros(n, jnp.float32),
+        theta=jnp.asarray(th),
+        phi=jnp.zeros(n, jnp.float32),
+        valid=jnp.asarray(valid),
+    )
+    res = find_best_board(
+        saddles,
+        jnp.asarray(valid),
+        0.3,
+        C.grid_radius,
+        CONSTANTS.quad_nn,
+        C.max_quads,
+        C.max_boards,
+        C.seeds_per_group,
+        C.max_attempts,
+        CONSTANTS.max_seeds,
+        CONSTANTS.early_exit_score,
+    )
+    assert int(res.board.score) >= 36
+    assert int(res.board.pruned) == 0
