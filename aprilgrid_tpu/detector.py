@@ -279,13 +279,22 @@ class TagDetector:
 
         from . import native
 
-        if chunk is None:
-            # 32-frame chunks pipeline best on the measured relay (finer
-            # host/device interleave beats fewer dispatches; chunk=128
-            # serializes host search against the front-end: 181 vs 250
-            # fps at batch 128)
-            chunk = int(os.environ.get("AG_CHUNK", "32"))
         b = imgs.shape[0]
+        if chunk is None:
+            env = os.environ.get("AG_CHUNK")
+            if env is not None:
+                chunk = int(env)
+            else:
+                # 32 1080p frames per chunk pipelines best on the
+                # measured relay (finer host/device interleave beats
+                # fewer dispatches; one whole-batch chunk serializes
+                # host search against the front-end: 181 vs 250 fps at
+                # batch 128). Scale by resolution at a constant pixel
+                # budget (4K -> 8), rounded down to a power of two so
+                # chunk boundaries reuse jit specializations.
+                px = int(imgs.shape[1]) * int(imgs.shape[2])
+                budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
+                chunk = 1 << (budget.bit_length() - 1)
         hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2
         dcap = min(cap, 2 * self.caps.max_tags)

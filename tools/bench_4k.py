@@ -29,7 +29,9 @@ from aprilgrid_tpu.oracle.numpy_ref import load_image
 
 def main() -> int:
     cams = int(os.environ.get("BENCH_CAMS", "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "2"))
+    # enough stream steps that the chunked hybrid pipeline can overlap
+    # host search with device front-ends (4K chunks are 8 frames)
+    steps = int(os.environ.get("BENCH_STEPS", "8"))
 
     base = load_image("tests/data/two_boards.png")  # 1080x1920 RGB
     # a 4K camera viewing the two-board scene: embed at the canvas center
