@@ -327,120 +327,161 @@ def _compute_clusters(
     lane_first = (subcol1 == 0).astype(jnp.int32)
     lane_last = (subcol1 == _SUBW - 1).astype(jnp.int32)
 
-    def process_root(lbl, en):
-        # member scan over a _SUB-row x 256-lane window around the root
+    def process_roots(lbls, ens):
+        # Process a small batch of roots with every STEP emitted for all
+        # roots before the next step (member scans, then marginals, then
+        # picks, ...). The chains share no data, and step-interleaved
+        # emission lets the in-order machine overlap their load/reduce
+        # latencies — two sequential full-body calls did not. ``ens``
+        # masks a slot off (odd remainder): its loads hit clamped
+        # addresses and its gates force reject.
+        n_r = len(lbls)
+        rr = range(n_r)
+        lroot = [
+            pl.multiple_of(
+                (jnp.clip((lbls[i] >> 16) - row0, 0, _WIN - _SUB) // 8) * 8,
+                8,
+            )
+            for i in rr
+        ]
+        croot = [lbls[i] & 0xFFFF for i in rr]
+        cstart = [
+            pl.multiple_of(
+                jnp.clip(((croot[i] - 64) // 128) * 128, 0, wp - _SUBW), 128
+            )
+            for i in rr
+        ]
+        # member scan over a _SUB-row x 256-lane window around each root
         # (blobs span <= ~30 px; anything touching the scan border that
-        # could continue beyond it is dropped below). ``en`` masks the
-        # whole root off (used to process two roots per drain iteration
-        # branchlessly — a disabled root's loads hit clamped addresses
-        # and its gates force reject)
-        lroot = jnp.clip((lbl >> 16) - row0, 0, _WIN - _SUB)
-        lroot = pl.multiple_of((lroot // 8) * 8, 8)
-        croot = lbl & 0xFFFF
-        cstart = jnp.clip(((croot - 64) // 128) * 128, 0, wp - _SUBW)
-        cstart = pl.multiple_of(cstart, 128)
-        sub = lab_ref[pl.ds(lroot, _SUB), pl.ds(cstart, _SUBW)]
-        member = (sub == lbl).astype(jnp.int32)
+        # could continue beyond it is dropped below)
+        sub = [
+            lab_ref[pl.ds(lroot[i], _SUB), pl.ds(cstart[i], _SUBW)]
+            for i in rr
+        ]
+        member = [(sub[i] == lbls[i]).astype(jnp.int32) for i in rr]
         # column marginal first (sublane-direction adds are cheap); the
         # count, x-sum and lateral border contacts then reduce over a
         # single (1, _SUBW) row instead of the full window — only the
         # y-sum still needs a full-window multiply-reduce
-        colsum = jnp.sum(member, axis=0, keepdims=True)      # (1, _SUBW)
-        cnt_i = jnp.sum(colsum)
-        scol = jnp.sum(colsum * subcol1)
-        srow = jnp.sum(member * subrow)
+        colsum = [jnp.sum(member[i], axis=0, keepdims=True) for i in rr]
+        cnt_i = [jnp.sum(colsum[i]) for i in rr]
+        scol = [jnp.sum(colsum[i] * subcol1) for i in rr]
+        srow = [jnp.sum(member[i] * subrow) for i in rr]
         # border contact => the blob may continue outside the scan
         # window => drop (counted). Bottom from the last-2-row slice,
         # left/right from the column marginal's edge lanes.
-        last_global = row0 + lroot + _SUB - 1
-        bot = jnp.sum(member[_SUB - 2 :, :]) > 0
-        lft = jnp.sum(colsum * lane_first) > 0
-        rgt = jnp.sum(colsum * lane_last) > 0
-        bad = (
-            (bot & (last_global < h - 1))
-            | (lft & (cstart > 0))
-            | (rgt & (cstart + _SUBW < w))
-        )
-        cnt = cnt_i.astype(jnp.float32)
-        cx = scol.astype(jnp.float32) / cnt + cstart.astype(jnp.float32)
-        cy = srow.astype(jnp.float32) / cnt + (row0 + lroot).astype(
-            jnp.float32
-        )
+        bot = [jnp.sum(member[i][_SUB - 2 :, :]) > 0 for i in rr]
+        lft = [jnp.sum(colsum[i] * lane_first) > 0 for i in rr]
+        rgt = [jnp.sum(colsum[i] * lane_last) > 0 for i in rr]
+        bad = [
+            (bot[i] & (row0 + lroot[i] + _SUB - 1 < h - 1))
+            | (lft[i] & (cstart[i] > 0))
+            | (rgt[i] & (cstart[i] + _SUBW < w))
+            for i in rr
+        ]
+        cnt = [cnt_i[i].astype(jnp.float32) for i in rr]
+        cx = [
+            scol[i].astype(jnp.float32) / cnt[i]
+            + cstart[i].astype(jnp.float32)
+            for i in rr
+        ]
+        cy = [
+            srow[i].astype(jnp.float32) / cnt[i]
+            + (row0 + lroot[i]).astype(jnp.float32)
+            for i in rr
+        ]
 
         # reference rust_round (coords are non-negative here)
-        rx = jnp.floor(cx + 0.5).astype(jnp.int32)
-        ry = jnp.floor(cy + 0.5).astype(jnp.int32)
-        in_b = (
-            (ry - hp2 >= 0) & (ry + hp2 < h) & (rx - hp2 >= 0) & (rx + hp2 < w)
-        )
-        lr = jnp.clip(ry - row0, 0, _WIN - 1)
+        rx = [jnp.floor(cx[i] + 0.5).astype(jnp.int32) for i in rr]
+        ry = [jnp.floor(cy[i] + 0.5).astype(jnp.int32) for i in rr]
+        in_b = [
+            (ry[i] - hp2 >= 0)
+            & (ry[i] + hp2 < h)
+            & (rx[i] - hp2 >= 0)
+            & (rx[i] + hp2 < w)
+            for i in rr
+        ]
+        lr = [jnp.clip(ry[i] - row0, 0, _WIN - 1) for i in rr]
         # ROCHADE support must stay inside the valid stencil interior
-        margin_ok = (lr >= 4) & (lr <= _WIN - 5)
-        rxc = jnp.clip(rx, 0, wp - 1)
-        cb = pl.multiple_of((rxc // 128) * 128, 128)
-        lr8 = pl.multiple_of(jnp.clip((lr // 8) * 8, 0, _WIN - 8), 8)
-        onehot = (
-            (iota8r == lr - lr8) & (iota128 == rxc - cb)
-        ).astype(jnp.float32)
+        margin_ok = [(lr[i] >= 4) & (lr[i] <= _WIN - 5) for i in rr]
+        rxc = [jnp.clip(rx[i], 0, wp - 1) for i in rr]
+        cb = [pl.multiple_of((rxc[i] // 128) * 128, 128) for i in rr]
+        lr8 = [
+            pl.multiple_of(jnp.clip((lr[i] // 8) * 8, 0, _WIN - 8), 8)
+            for i in rr
+        ]
+        onehot = [
+            (
+                (iota8r == lr[i] - lr8[i]) & (iota128 == rxc[i] - cb[i])
+            ).astype(jnp.float32)
+            for i in rr
+        ]
 
         # scalar ROCHADE math (reference src/detector.rs:330-356)
-        a1, a2, a3, a4, a5 = pick5(lr8, cb, onehot)
-        d = (2.0 * a1) * (2.0 * a3) - a2 * a2
-        safe_d = jnp.where(d == 0, 1.0, d)
+        a = [pick5(lr8[i], cb[i], onehot[i]) for i in rr]
+        d = [(2.0 * a[i][0]) * (2.0 * a[i][2]) - a[i][1] * a[i][1] for i in rr]
         # one reciprocal + two multiplies instead of two scalar divides;
         # *0.5 is exact. The |c5| < k gate compares squares (equivalent
         # for non-negative magnitudes), so the scalar sqrt moves out of
         # the loop entirely — k is recomputed from the stored (c3, c4)
         # in saddles_from_candidates, same f32 formula, bit-identical.
-        rd = 1.0 / safe_d
-        x0 = (-2.0 * a3 * a4 + a2 * a5) * rd
-        y0 = (-2.0 * a1 * a5 + a2 * a4) * rd
-        c5 = (a1 + a3) * 0.5
-        c4 = (a1 - a3) * 0.5
-        c3 = a2 * 0.5
-        ok = (
-            en
-            & in_b
-            & ~bad
-            & margin_ok
-            & (d < 0.0)
-            & (jnp.abs(x0) <= move_thr)
-            & (jnp.abs(y0) <= move_thr)
-            & (c5 * c5 < c3 * c3 + c4 * c4)
-        )
+        rd = [1.0 / jnp.where(d[i] == 0, 1.0, d[i]) for i in rr]
+        x0 = [
+            (-2.0 * a[i][2] * a[i][3] + a[i][1] * a[i][4]) * rd[i] for i in rr
+        ]
+        y0 = [
+            (-2.0 * a[i][0] * a[i][4] + a[i][1] * a[i][3]) * rd[i] for i in rr
+        ]
+        c5 = [(a[i][0] + a[i][2]) * 0.5 for i in rr]
+        c4 = [(a[i][0] - a[i][2]) * 0.5 for i in rr]
+        c3 = [a[i][1] * 0.5 for i in rr]
+        ok = [
+            ens[i]
+            & in_b[i]
+            & ~bad[i]
+            & margin_ok[i]
+            & (d[i] < 0.0)
+            & (jnp.abs(x0[i]) <= move_thr)
+            & (jnp.abs(y0[i]) <= move_thr)
+            & (c5[i] * c5[i] < c3[i] * c3[i] + c4[i] * c4[i])
+            for i in rr
+        ]
         # append accepted candidates only (rejected ones are ignored by
         # every consumer, so compacting here keeps the per-frame buffer
         # small and removes the old per-window slot cliff). The write is
         # unconditional — branchless: a rejected candidate lands at the
         # stationary cursor with ok=0 and is overwritten by the next
         # accepted one (anything left past the final count is filtered
-        # by its ok column downstream).
-        cur = cur_ref[0]
-        app = ok & (cur < capf)
-        scan_lbl = (lbl >> 16) * w + (lbl & 0xFFFF)
+        # by its ok column downstream). Appends are sequential (cursor).
+        scan_lbl = [(lbls[i] >> 16) * w + (lbls[i] & 0xFFFF) for i in rr]
         # angles (theta/phi via atan2/acos) are NOT computed here: the
         # few-thousand compacted rows get them in one cheap XLA pass
         # (saddles_from_candidates) instead of per loop iteration
-        vals = jnp.concatenate(
-            [
-                (rx.astype(jnp.float32) + x0).reshape(1, 1),
-                (ry.astype(jnp.float32) + y0).reshape(1, 1),
-                jnp.float32(0.0).reshape(1, 1),  # k derived downstream
-                c3.reshape(1, 1),
-                c4.reshape(1, 1),
-                c5.reshape(1, 1),
-                jnp.where(ok, 1.0, 0.0).reshape(1, 1),
-                # stored label = scan-order linear index (row*w + col):
-                # exact in f32 up to 2^24 (4K is ~8.3M), unlike the
-                # packed (row<<16)|col form (~141M); one multiply here
-                # vs a div/mod in every downstream consumer
-                (scan_lbl.astype(jnp.float32) + 1.0).reshape(1, 1),
-            ],
-            axis=1,
-        )
-        out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals
-        cur_ref[0] = cur + app.astype(jnp.int32)
-        cur_ref[1] = cur_ref[1] + (bad & en).astype(jnp.int32)
+        vals = [
+            jnp.concatenate(
+                [
+                    (rx[i].astype(jnp.float32) + x0[i]).reshape(1, 1),
+                    (ry[i].astype(jnp.float32) + y0[i]).reshape(1, 1),
+                    jnp.float32(0.0).reshape(1, 1),  # k derived downstream
+                    c3[i].reshape(1, 1),
+                    c4[i].reshape(1, 1),
+                    c5[i].reshape(1, 1),
+                    jnp.where(ok[i], 1.0, 0.0).reshape(1, 1),
+                    # stored label = scan-order linear index (row*w+col):
+                    # exact in f32 up to 2^24 (4K is ~8.3M), unlike the
+                    # packed (row<<16)|col form (~141M)
+                    (scan_lbl[i].astype(jnp.float32) + 1.0).reshape(1, 1),
+                ],
+                axis=1,
+            )
+            for i in rr
+        ]
+        for i in rr:
+            cur = cur_ref[0]
+            app = ok[i] & (cur < capf)
+            out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals[i]
+            cur_ref[0] = cur + app.astype(jnp.int32)
+            cur_ref[1] = cur_ref[1] + (bad[i] & ens[i]).astype(jnp.int32)
 
     def drain_region(state):
         nproc, rm3v, m = state
@@ -461,8 +502,9 @@ def _compute_clusters(
             reg2 = jnp.where(reg == lbl, big, reg)
             lbl2 = jnp.min(reg2)
             en2 = lbl2 < big
-            process_root(lbl, jnp.bool_(True))
-            process_root(lbl2, en2)
+            # two slots measured best: 4 wastes too many masked slots on
+            # small regions (162 vs 155 ms at b64)
+            process_roots([lbl, lbl2], [jnp.bool_(True), en2])
             reg3 = jnp.where(reg2 == lbl2, big, reg2)
             return (
                 iproc + 1 + en2.astype(jnp.int32),
