@@ -50,3 +50,47 @@ class MultiCameraDetector:
             flat = jax.device_put(flat, NamedSharding(self.mesh, spec))
         results = self.detector.detect_batch(flat)
         return [results[c * n_t : (c + 1) * n_t] for c in range(n_cam)]
+
+
+def detect_stream(detector: TagDetector, batches, prefetch: int = 2):
+    """Pipelined streaming detect over an iterable of frame batches.
+
+    Production ingest loop: host->device uploads of upcoming batches
+    (``jax.device_put`` is asynchronous) overlap the detect of the
+    current one, so the PCIe/relay transfer cost disappears behind
+    compute instead of serializing with it. Yields one
+    ``list[{tag_id: corners}]`` per input batch, in order.
+
+    Parameters
+    ----------
+    detector:
+        The :class:`TagDetector` to run (hybrid or xla mode).
+    batches:
+        Iterable of (B, H, W[, C]) uint8/uint16 frame batches. Batches
+        may differ in B (each distinct shape jit-specializes once) but
+        should share H/W/C.
+    prefetch:
+        How many batches to keep in flight on the device ahead of the
+        one being detected (2 covers upload latency on the measured
+        relay without hoarding HBM).
+    """
+    from collections import deque
+
+    it = iter(batches)
+    queue: deque = deque()
+
+    def enqueue():
+        try:
+            arr = next(it)
+        except StopIteration:
+            return False
+        queue.append(jax.device_put(jnp.asarray(arr)))  # async upload
+        return True
+
+    for _ in range(max(1, prefetch)):
+        if not enqueue():
+            break
+    while queue:
+        dev_batch = queue.popleft()
+        enqueue()  # keep the pipeline full before blocking on detect
+        yield detector.detect_batch(dev_batch)

@@ -53,3 +53,21 @@ def test_multicamera_sharded(detector, euroc):
 def test_multicamera_requires_camera_axis(detector):
     with pytest.raises(ValueError):
         MultiCameraDetector(detector, make_mesh({"data": 2}))
+
+
+def test_detect_stream_pipelined(detector, data_dir):
+    """detect_stream yields per-batch results in order while prefetching
+    uploads; results must match plain detect_batch exactly."""
+    import numpy as np
+
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+    from aprilgrid_tpu.parallel.streaming import detect_stream
+
+    img = load_image(str(data_dir / "two_boards.png"))
+    batches = [np.broadcast_to(img, (2,) + img.shape) for _ in range(3)]
+    got = list(detect_stream(detector, iter(batches), prefetch=2))
+    assert len(got) == 3
+    ref = detector.detect_batch(batches[0])
+    for res in got:
+        assert [set(r) for r in res] == [set(r) for r in ref]
+        assert all(len(r) == 72 for r in res)
