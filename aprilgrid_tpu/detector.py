@@ -292,6 +292,10 @@ class TagDetector:
                 # batch 128). Scale by resolution at a constant pixel
                 # budget (4K -> 8), rounded down to a power of two so
                 # chunk boundaries reuse jit specializations.
+                # (forcing >= 4 chunks regardless of frame size was
+                # measured NEUTRAL-to-worse on small frames — they are
+                # relay-latency-bound, and more chunks means more fixed
+                # dispatch latency)
                 px = int(imgs.shape[1]) * int(imgs.shape[2])
                 budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
                 chunk = 1 << (budget.bit_length() - 1)
