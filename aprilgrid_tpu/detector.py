@@ -254,8 +254,10 @@ class TagDetector:
     ) -> list[dict[int, list[tuple[float, float]]]]:
         """Detect over a batch of same-shape frames (vmap over axis 0).
 
-        ``chunk`` sizes the hybrid software pipeline's sub-batches
-        (default: env ``AG_CHUNK`` or 64); ignored in xla mode."""
+        ``chunk`` sizes the hybrid software pipeline's sub-batches.
+        Default: env ``AG_CHUNK`` if set, else a resolution-scaled
+        power of two (32 at 1080p, 8 at 4K, up to 64 for small frames).
+        Ignored in xla mode."""
         if self.mode == "hybrid":
             return self._detect_hybrid(jnp.asarray(imgs), chunk=chunk)
         res = self._detect_batch_fn(jnp.asarray(imgs))
@@ -284,7 +286,7 @@ class TagDetector:
             env = os.environ.get("AG_CHUNK")
             if env is not None:
                 chunk = int(env)
-            else:
+            if chunk is None:
                 # 32 1080p frames per chunk pipelines best on the
                 # measured relay (finer host/device interleave beats
                 # fewer dispatches; one whole-batch chunk serializes
@@ -299,6 +301,7 @@ class TagDetector:
                 px = int(imgs.shape[1]) * int(imgs.shape[2])
                 budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
                 chunk = 1 << (budget.bit_length() - 1)
+        chunk = max(1, int(chunk))  # user/env values are clamped sane
         hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2
         dcap = min(cap, 2 * self.caps.max_tags)
@@ -398,7 +401,7 @@ class TagDetector:
                 if p == 0:
                     ensure_fe(ci + 2)  # keep the device 2 chunks ahead
             pending = nxt
-        for item in pending:
+        for item in pending or ():  # max_num_of_boards == 0 => no passes
             collect(*item)
         return results
 

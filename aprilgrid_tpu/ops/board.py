@@ -159,22 +159,24 @@ def propose_expansions(
         & (theta_distance_degree(t[..., None], saddles.theta[idx]) < 5.0)
     )
 
-    # Density-assumption audit (the reference searches a true kd-tree;
-    # this recast prunes to the endpoint's k-NN pool). The pool provably
-    # contains every saddle inside the target's gate radius when
-    # dist(endpoint, target) + gate_radius <= pool radius (triangle
-    # inequality), or when the pool already holds every alive saddle.
-    # Violations are COUNTED so a parity break on pathological densities
-    # is detectable rather than silent (0 on all bundled data).
+    # Density-assumption audit (the reference queries a true kd-tree's
+    # global 3-NN and THEN gates; this recast prunes the query to the
+    # endpoint's k-NN pool). The pruned query is provably identical
+    # when no un-pooled saddle can displace one of the 3 picks: every
+    # point closer to the target than the 3rd in-pool pick is inside
+    # the pool when dist(endpoint, target) + d3 <= pool radius
+    # (triangle inequality), or when the pool already holds every alive
+    # saddle. Uncertifiable attempts are COUNTED (BoardState.pruned) so
+    # a density-driven parity break is detectable rather than silent.
+    # Degenerate candidate quads with huge edges extrapolate targets
+    # beyond any pool's reach, so small nonzero counts are expected and
+    # benign — validated by golden/stress parity (PARITY.md #3).
     endpoints = jnp.stack([p[:, 1], p[:, 1], p[:, 2], p[:, 2]], axis=1)
     d2_ep = jnp.sum((pool_p - endpoints[:, :, None, :]) ** 2, axis=-1)
-    r2_pool = jnp.max(jnp.where(alive[pool], d2_ep, 0.0), axis=-1)
-    reach = jnp.sqrt(
-        jnp.sum((targets - endpoints) ** 2, axis=-1)
-    ) + jnp.sqrt(radius_sq)
-    covered = (reach * reach <= r2_pool) | (
-        jnp.sum(alive) <= pool.shape[-1]
-    )
+    r_pool = jnp.sqrt(jnp.max(jnp.where(alive[pool], d2_ep, 0.0), axis=-1))
+    d_et = jnp.sqrt(jnp.sum((targets - endpoints) ** 2, axis=-1))
+    d3 = jnp.sqrt(jnp.minimum(dist_sq[..., 2], jnp.float32(1e30)))
+    covered = (d_et + d3 <= r_pool) | (jnp.sum(alive) <= pool.shape[-1])
     pool_overflow = (~covered).any(axis=-1)  # (P,)
 
     # compact each 3-candidate list (reference iterates passing entries

@@ -84,7 +84,7 @@ def find_best_board(
         )
 
     def group_body(state):
-        gi, best = state
+        gi, best, audit = state
         s_slots = gi * seeds_per_group + jnp.arange(seeds_per_group)
         s_ok = seed_ok[jnp.minimum(s_slots, max_seeds - 1)] & (
             s_slots < max_seeds
@@ -110,6 +110,10 @@ def find_best_board(
                 max_attempts=max_attempts,
             )
         )(b_q, b_ok)
+        # density-audit counts accumulate over EVERY candidate grown,
+        # not just the winner — an overflow in a LOSING board may be
+        # exactly why it lost, and must still be surfaced
+        audit = audit + jnp.sum(jnp.where(b_ok, boards.pruned, 0))
         scores = jnp.where(b_ok, boards.score, 0)
         # The reference checks the early-exit score after each SEED's
         # candidate loop: once a seed's best board reaches it, later
@@ -130,16 +134,19 @@ def find_best_board(
             best,
             cand,
         )
-        return gi + 1, best
+        return gi + 1, best, audit
 
     def group_cond(state):
-        gi, best = state
+        gi, best, _ = state
         more = (gi < num_groups) & seed_ok[
             jnp.minimum(gi * seeds_per_group, max_seeds - 1)
         ]
         return more & (best.score < early_exit_score)
 
-    _, best = lax.while_loop(group_cond, group_body, (jnp.int32(0), empty_board()))
+    _, best, audit = lax.while_loop(
+        group_cond, group_body, (jnp.int32(0), empty_board(), jnp.int32(0))
+    )
+    best = best._replace(pruned=audit.astype(jnp.int32))
 
     found = best.score > 0
     best = fix_missing(saddles, best, alive, grid_radius)

@@ -52,10 +52,11 @@ _WIN = 184      # window rows = 8 top context + band + 48 blob headroom
 _TOP = 8        # rows of context above the band (8-aligned DMA starts)
 _CAPF = 1024    # accepted-candidate capacity PER FRAME (append-compacted)
 _MAX_ROOTS = 8192  # per-window extraction guard (pathological scenes)
-_SUB = 40       # member-scan row window per cluster: root row lands in
-                # [0, 7] after 8-alignment, so 40 rows cover blobs up to
-                # 32 rows tall (observed max 29; taller blobs hit the
-                # surfaced drop counter)
+_SUB = 48       # member-scan row window per cluster: root row lands in
+                # [0, 7] after 8-alignment, so 48 rows cover blobs up to
+                # 39 rows tall (observed max 29; taller blobs hit the
+                # surfaced drop counter). A 40-row window was measured
+                # only ~2 ms faster at b64 — not worth the margin
 _SUBW = 256     # member-scan lane window per cluster (>= max blob width)
 
 
@@ -420,21 +421,23 @@ def _compute_clusters(
         # scalar ROCHADE math (reference src/detector.rs:330-356)
         a = [pick5(lr8[i], cb[i], onehot[i]) for i in rr]
         d = [(2.0 * a[i][0]) * (2.0 * a[i][2]) - a[i][1] * a[i][1] for i in rr]
-        # one reciprocal + two multiplies instead of two scalar divides;
-        # *0.5 is exact. The |c5| < k gate compares squares (equivalent
-        # for non-negative magnitudes), so the scalar sqrt moves out of
-        # the loop entirely — k is recomputed from the stored (c3, c4)
-        # in saddles_from_candidates, same f32 formula, bit-identical.
-        rd = [1.0 / jnp.where(d[i] == 0, 1.0, d[i]) for i in rr]
+        # fp-exact reference op sequence on purpose: plain divides and
+        # the sqrt'd |c5| < k gate (NOT reciprocal-multiply / squared
+        # compares, which are mathematically but not floating-point
+        # equivalent and could flip a borderline accept vs the oracle)
+        safe_d = [jnp.where(d[i] == 0, 1.0, d[i]) for i in rr]
         x0 = [
-            (-2.0 * a[i][2] * a[i][3] + a[i][1] * a[i][4]) * rd[i] for i in rr
+            (-2.0 * a[i][2] * a[i][3] + a[i][1] * a[i][4]) / safe_d[i]
+            for i in rr
         ]
         y0 = [
-            (-2.0 * a[i][0] * a[i][4] + a[i][1] * a[i][3]) * rd[i] for i in rr
+            (-2.0 * a[i][0] * a[i][4] + a[i][1] * a[i][3]) / safe_d[i]
+            for i in rr
         ]
         c5 = [(a[i][0] + a[i][2]) * 0.5 for i in rr]
         c4 = [(a[i][0] - a[i][2]) * 0.5 for i in rr]
         c3 = [a[i][1] * 0.5 for i in rr]
+        kk = [jnp.sqrt(c4[i] * c4[i] + c3[i] * c3[i]) for i in rr]
         ok = [
             ens[i]
             & in_b[i]
@@ -443,7 +446,7 @@ def _compute_clusters(
             & (d[i] < 0.0)
             & (jnp.abs(x0[i]) <= move_thr)
             & (jnp.abs(y0[i]) <= move_thr)
-            & (c5[i] * c5[i] < c3[i] * c3[i] + c4[i] * c4[i])
+            & (jnp.abs(c5[i]) < kk[i])
             for i in rr
         ]
         # append accepted candidates only (rejected ones are ignored by
