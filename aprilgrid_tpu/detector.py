@@ -287,20 +287,7 @@ class TagDetector:
             if env is not None:
                 chunk = int(env)
             if chunk is None:
-                # 32 1080p frames per chunk pipelines best on the
-                # measured relay (finer host/device interleave beats
-                # fewer dispatches; one whole-batch chunk serializes
-                # host search against the front-end: 181 vs 250 fps at
-                # batch 128). Scale by resolution at a constant pixel
-                # budget (4K -> 8), rounded down to a power of two so
-                # chunk boundaries reuse jit specializations.
-                # (forcing >= 4 chunks regardless of frame size was
-                # measured NEUTRAL-to-worse on small frames — they are
-                # relay-latency-bound, and more chunks means more fixed
-                # dispatch latency)
-                px = int(imgs.shape[1]) * int(imgs.shape[2])
-                budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
-                chunk = 1 << (budget.bit_length() - 1)
+                chunk = _default_chunk(int(imgs.shape[1]), int(imgs.shape[2]))
         chunk = max(1, int(chunk))  # user/env values are clamped sane
         hw = (int(imgs.shape[1]), int(imgs.shape[2]))
         cap = (2 * self.caps.grid_radius + 1) ** 2
@@ -421,6 +408,23 @@ class TagDetector:
                 )
             )
         return out
+
+
+def _default_chunk(h: int, w: int) -> int:
+    """Hybrid-pipeline sub-batch size for an (h, w) frame.
+
+    32 1080p frames per chunk pipelines best on the measured relay
+    (finer host/device interleave beats fewer dispatches; one
+    whole-batch chunk serializes host search against the front-end:
+    181 vs 250 fps at batch 128). Scales by resolution at a constant
+    pixel budget (4K -> 8), rounded down to a power of two so chunk
+    boundaries reuse jit specializations. Forcing >= 4 chunks
+    regardless of frame size was measured neutral-to-worse on small
+    frames — they are relay-latency-bound, and more chunks means more
+    fixed dispatch latency."""
+    px = h * w
+    budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
+    return 1 << (budget.bit_length() - 1)
 
 
 def _copy_to_host_async(arr) -> None:

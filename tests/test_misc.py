@@ -41,3 +41,14 @@ def test_chart_cli(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert (tmp_path / "t16h5_2x2_start_id_0.png").exists()
+
+
+def test_hybrid_chunk_default_scales_with_resolution():
+    """The hybrid chunk default follows a constant pixel budget,
+    rounded down to a power of two."""
+    from aprilgrid_tpu.detector import _default_chunk
+
+    assert _default_chunk(1080, 1920) == 32
+    assert _default_chunk(2160, 3840) == 8
+    assert _default_chunk(480, 752) == 64
+    assert _default_chunk(1024, 1024) == 32
