@@ -77,6 +77,28 @@ def _rot_perms(edge: int) -> np.ndarray:
     return np.stack(perms)  # (4, n)
 
 
+def tag_homography(corners, side_bits: int, margin: float) -> np.ndarray:
+    """Full 8-DoF DLT homography from the canonical tag frame to the
+    image quad (reference: tag_homography, src/image_util.rs:5-37 —
+    dead code there, the pipeline uses the affine; provided for API
+    completeness). Returns the (3, 3) float32 H as the last right
+    singular vector of the 8x9 DLT system, like the reference's
+    `svd.V().col(8)`."""
+    c = np.asarray(corners, np.float32).reshape(4, 2)
+    s = float(side_bits) - 1.0 + margin
+    source = [(-margin, -margin), (-margin, s), (s, s), (s, -margin)]
+    a = np.zeros((8, 9), np.float32)
+    for p in range(4):
+        sx, sy = source[p]
+        cx, cy = float(c[p, 0]), float(c[p, 1])
+        a[2 * p, 0:3] = (sx, sy, 1.0)
+        a[2 * p, 6:9] = (-cx * sx, -cx * sy, -cx)
+        a[2 * p + 1, 3:6] = (sx, sy, 1.0)
+        a[2 * p + 1, 6:9] = (-cy * sx, -cy * sy, -cy)
+    _, _, vt = np.linalg.svd(a)
+    return vt[-1].reshape(3, 3).astype(np.float32)
+
+
 def decode_positions_px(
     corners,
     spec: FamilySpec,

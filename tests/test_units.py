@@ -218,3 +218,24 @@ def test_knn_pool_density_audit_on_golden(data_dir):
     # candidate boards); golden/stress parity tests pin that the
     # flagged attempts are benign on this data
     assert 0 <= int(res.board.pruned) < 100
+
+
+def test_tag_homography_maps_source_to_corners():
+    """tag_homography (reference src/image_util.rs:5-37, its unit test
+    only checks shape) — here the projective map is verified: H applied
+    to the canonical source corners reproduces the image corners."""
+    import numpy as np
+
+    from aprilgrid_tpu.ops.decode import tag_homography
+
+    corners = [(3.0, 2.0), (1.0, 41.0), (47.0, 43.0), (40.0, 5.0)]
+    side_bits, margin = 10, 0.5
+    h = tag_homography(corners, side_bits, margin)
+    assert h.shape == (3, 3)
+    s = side_bits - 1.0 + margin
+    src = np.array(
+        [(-margin, -margin), (-margin, s), (s, s), (s, -margin)], np.float64
+    )
+    pts = np.concatenate([src, np.ones((4, 1))], axis=1) @ h.astype(np.float64).T
+    mapped = pts[:, :2] / pts[:, 2:3]
+    np.testing.assert_allclose(mapped, np.array(corners), atol=1e-3)
