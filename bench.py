@@ -42,7 +42,9 @@ def main() -> int:
     mode = os.environ.get("BENCH_MODE", "hybrid")
     default_batch = "128" if mode == "hybrid" else "16"
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # best-of-8: the relay adds ±8-15% run-to-run variance, and a rep
+    # costs ~0.5 s vs minutes of (cached) compile — cheap insurance
+    reps = int(os.environ.get("BENCH_REPS", "8"))
 
     import jax.numpy as jnp
 
