@@ -1,5 +1,5 @@
 # aprilgrid-tpu developer targets
-.PHONY: test bench bench4k charts native clean
+.PHONY: test bench benchall bench4k benchblur charts native clean
 
 test:
 	python -m pytest tests/ -q
@@ -7,8 +7,14 @@ test:
 bench:
 	python bench.py
 
+benchall:
+	python tools/bench_detection.py
+
 bench4k:
 	python tools/bench_4k.py
+
+benchblur:
+	python tools/bench_blur.py
 
 charts:
 	python tools/generate_aprilgrid.py -t t36h11 -x 6 -y 6 --out-dir charts
