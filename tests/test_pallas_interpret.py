@@ -81,7 +81,10 @@ def test_fused_frontend_matches_xla(euroc):
     )
 
 
-def test_cluster_rochade_matches_oracle_saddles(euroc):
+@pytest.mark.parametrize("name", ["EuRoC", "TUM_VI"])
+def test_cluster_rochade_matches_oracle_saddles(name, data_dir):
+    """EuRoC = u8 752x480; TUM_VI = 16-bit 1024x1024 — both through the
+    full fused cluster kernel in interpret mode."""
     from aprilgrid_tpu.ops.rochade import filter_and_compact
     from aprilgrid_tpu.pallas.cluster import (
         cluster_rochade,
@@ -89,6 +92,7 @@ def test_cluster_rochade_matches_oracle_saddles(euroc):
     )
     from aprilgrid_tpu.pallas.frontend import fused_frontend
 
+    euroc = R.load_image(str(data_dir / f"{name}.png"))
     h, w = euroc.shape
     luma = jnp.asarray(R.to_luma32f(euroc))[None]
     blur_p, tile_min = fused_frontend(

@@ -239,3 +239,59 @@ def test_tag_homography_maps_source_to_corners():
     pts = np.concatenate([src, np.ones((4, 1))], axis=1) @ h.astype(np.float64).T
     mapped = pts[:, :2] / pts[:, 2:3]
     np.testing.assert_allclose(mapped, np.array(corners), atol=1e-3)
+
+
+def test_knn_pool_density_audit_detects_pathological_density(data_dir):
+    """Negative case for the audit: flooding one board edge's
+    neighborhood with decoy saddles shrinks the endpoint's 64-NN pool
+    radius below the expansion reach, so the pruned 3-NN query is no
+    longer certifiable — BoardState.pruned must spike well above the
+    clean-scene count instead of staying silent."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES as C
+    from aprilgrid_tpu.oracle import numpy_ref as R
+    from aprilgrid_tpu.ops.rochade import Saddles
+    from aprilgrid_tpu.ops.search import find_best_board
+
+    img = R.load_image(str(data_dir / "EuRoC.png"))
+    ref = R.refined_saddle_points(img)
+    n = 768
+    p = np.zeros((n, 2), np.float32)
+    th = np.zeros(n, np.float32)
+    valid = np.zeros(n, bool)
+    for i, s in enumerate(ref[:n]):
+        p[i] = s.p
+        th[i] = s.theta
+        valid[i] = True
+    base = int(valid.sum())
+
+    def run(p, th, valid):
+        saddles = Saddles(
+            p=jnp.asarray(p), k=jnp.zeros(n, jnp.float32),
+            theta=jnp.asarray(th), phi=jnp.zeros(n, jnp.float32),
+            valid=jnp.asarray(valid),
+        )
+        return find_best_board(
+            saddles, jnp.asarray(valid), 0.3, C.grid_radius,
+            CONSTANTS.quad_nn, C.max_quads, C.max_boards,
+            C.seeds_per_group, C.max_attempts, CONSTANTS.max_seeds,
+            CONSTANTS.early_exit_score,
+        )
+
+    clean = int(run(p, th, valid).board.pruned)
+
+    # decoy cloud: 150 saddles within ~6 px of one detected corner —
+    # every 64-NN pool around that neighborhood collapses to ~6 px
+    # radius while expansion targets extrapolate ~1.3 edge lengths away
+    rng = np.random.default_rng(0)
+    k = min(150, n - base)
+    center = p[base // 2]
+    p2, th2, valid2 = p.copy(), th.copy(), valid.copy()
+    p2[base : base + k] = center + rng.normal(0, 2.0, (k, 2))
+    th2[base : base + k] = rng.uniform(-90, 90, k)
+    valid2[base : base + k] = True
+
+    dense = int(run(p2, th2, valid2).board.pruned)
+    assert dense > clean, (dense, clean)
