@@ -32,6 +32,30 @@ from .pipeline import (
 )
 
 
+class Tag:
+    """Detected-tag record (reference struct: src/detector.rs:189-192 —
+    declared but unused there; `detect` returns a dict, as the
+    reference's detect returns a HashMap). Provided for API parity."""
+
+    __slots__ = ("id", "p")
+
+    def __init__(self, id: int, p):
+        self.id = id
+        self.p = p
+
+    def __repr__(self):
+        return f"Tag(id={self.id}, p={self.p})"
+
+
+def saddle_distance2(s0, s1) -> float:
+    """Squared distance between two saddles (reference:
+    saddle_distance2, src/saddle.rs:69-73 — unused by the pipeline;
+    provided for API parity)."""
+    x = s0.p[0] - s1.p[0]
+    y = s0.p[1] - s1.p[1]
+    return x * x + y * y
+
+
 class Saddle:
     """Host-side saddle record (reference struct: src/saddle.rs:3-9)."""
 

@@ -52,3 +52,16 @@ def test_hybrid_chunk_default_scales_with_resolution():
     assert _default_chunk(2160, 3840) == 8
     assert _default_chunk(480, 752) == 64
     assert _default_chunk(1024, 1024) == 32
+
+
+def test_api_parity_structs():
+    """Reference-surface structs that the pipeline itself never calls
+    (Tag, saddle_distance2 — dead code upstream too) still exist for
+    API parity (src/detector.rs:189-192, src/saddle.rs:69-73)."""
+    from aprilgrid_tpu.detector import Saddle, Tag, saddle_distance2
+
+    t = Tag(id=7, p=[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)])
+    assert t.id == 7 and len(t.p) == 4
+    s0 = Saddle(p=(0.0, 0.0), k=1.0, theta=0.0, phi=45.0)
+    s1 = Saddle(p=(3.0, 4.0), k=1.0, theta=0.0, phi=45.0)
+    assert saddle_distance2(s0, s1) == 25.0
