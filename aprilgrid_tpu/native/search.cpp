@@ -86,33 +86,48 @@ inline bool angles_close10(float cos_i, float sin_i, float cos_j,
   return std::fabs(ai - aj) <= 10.0f;
 }
 
-// quad validity gates (src/saddle.rs:17-67). The two atan2-based angle
-// gates use algebraic fast paths (square/cosine comparisons) with exact
+// quad validity gates (src/saddle.rs:17-67), factored so callers with
+// combinatorial candidate nests (try_expand_one's 3^4 loop, init_quads'
+// |same| x C(|diff|, 2) sweep) can hoist the gates that depend on only
+// two of the four saddles out of the nest. The predicates and their
+// order are exactly the reference's; hoisting only skips evaluations
+// whose outcome is already known. The two atan2-based angle gates use
+// algebraic fast paths (square/cosine comparisons) with exact
 // confirmation inside a narrow boundary band — atan2 only runs for the
-// rare near-boundary candidates, which dominates init_quads' C(n,2)
-// pair sweep cost.
-bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
-                   const Saddle& d1) {
-  if (theta_distance_degree(d0.theta, d1.theta) > 5.0f) return false;
+// rare near-boundary candidates.
+
+// gate 1 (src/saddle.rs:18): the two diagonal saddles' line angles
+// agree within 5 degrees. Depends on (d0, d1) only.
+inline bool gate_diag_theta(const Saddle& d0, const Saddle& d1) {
+  return !(theta_distance_degree(d0.theta, d1.theta) > 5.0f);
+}
+
+// gate 2 (src/saddle.rs:27-38): |angle(v02, s0 theta-dir)| in [60, 120]
+// <=> cos^2 <= 1/4 for a unit dir. Depends on (s0, s1) only.
+inline bool gate_v02_angle(const Saddle& s0, const Saddle& s1) {
+  float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
+  float dt = v02x * s0.ct + v02y * s0.st;
+  float q = dt * dt;
+  float n2 = v02x * v02x + v02y * v02y;
+  float hi = 0.25f * n2;
+  float eps = 1e-4f * n2 + 1e-30f;
+  if (q > hi + eps) return false;
+  if (q >= hi - eps) {  // boundary band: exact reference math
+    float th = s0.theta / 180.0f * kPi;
+    float vtx = std::cos(th), vty = std::sin(th);
+    float ang = std::fabs(angle_degree(v02x, v02y, vtx, vty));
+    if (!(ang >= 60.0f && ang <= 120.0f)) return false;
+  }
+  return true;
+}
+
+// gates 3+ (src/saddle.rs:40-66): convexity, opposite-angle agreement,
+// orientation dots — need all four saddles.
+bool is_valid_quad_rest(const Saddle& s0, const Saddle& d0,
+                        const Saddle& s1, const Saddle& d1) {
   float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
   float v03x = d1.x - s0.x, v03y = d1.y - s0.y;
   float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
-
-  // |angle(v02, theta-dir)| in [60, 120] <=> cos^2 <= 1/4 (unit dir)
-  {
-    float dt = v02x * s0.ct + v02y * s0.st;
-    float q = dt * dt;
-    float n2 = v02x * v02x + v02y * v02y;
-    float hi = 0.25f * n2;
-    float eps = 1e-4f * n2 + 1e-30f;
-    if (q > hi + eps) return false;
-    if (q >= hi - eps) {  // boundary band: exact reference math
-      float th = s0.theta / 180.0f * kPi;
-      float vtx = std::cos(th), vty = std::sin(th);
-      float ang = std::fabs(angle_degree(v02x, v02y, vtx, vty));
-      if (!(ang >= 60.0f && ang <= 120.0f)) return false;
-    }
-  }
 
   float c0 = cross(v01x, v01y, v02x, v02y);
   float c1 = cross(v02x, v02y, v03x, v03y);
@@ -137,6 +152,12 @@ bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
   return true;
 }
 
+bool is_valid_quad(const Saddle& s0, const Saddle& d0, const Saddle& s1,
+                   const Saddle& d1) {
+  return gate_diag_theta(d0, d1) && gate_v02_angle(s0, s1) &&
+         is_valid_quad_rest(s0, d0, s1, d1);
+}
+
 // Uniform grid over the saddle bounding box for neighbor queries
 // (replaces the reference's kd-tree, src/detector.rs:592-595).
 struct SpatialGrid {
@@ -146,7 +167,10 @@ struct SpatialGrid {
   std::vector<int> items;
   const std::vector<Saddle>* pts = nullptr;
 
-  void build(const std::vector<Saddle>& saddles) {
+  // cell_mult scales the density-derived cell size: 1.0 suits the
+  // 50-NN seed queries; ~0.25 suits the tiny-radius 3-NN expansion
+  // queries (see knn_radius)
+  void build(const std::vector<Saddle>& saddles, float cell_mult = 1.0f) {
     pts = &saddles;
     int n = (int)saddles.size();
     float x1 = -1e30f, y1 = -1e30f;
@@ -160,7 +184,8 @@ struct SpatialGrid {
     }
     if (n == 0) x1 = x0 = y1 = y0 = 0;
     float w = std::max(1.0f, x1 - x0), h = std::max(1.0f, y1 - y0);
-    cell = std::max(std::sqrt(w * h / std::max(1, n) * 2.0f), 1e-3f);
+    cell = std::max(
+        std::sqrt(w * h / std::max(1, n) * 2.0f) * cell_mult, 1e-3f);
     inv_cell = 1.0f / cell;
     nx = std::max(1, (int)(w * inv_cell) + 1);
     ny = std::max(1, (int)(h * inv_cell) + 1);
@@ -297,6 +322,73 @@ struct SpatialGrid {
     out.clear();
     for (int j = 0; j < n0; ++j) out.emplace_back(bd[j], bi[j]);
   }
+
+  // k nearest neighbors WITHIN radius sqrt(r2) — identical result to
+  // knn_small followed by the caller's dsq <= r2 filter, but the ring
+  // walk stops at the radius bound. The expansion queries' radii
+  // (0.5 * edge^2, ~20 px) are far smaller than the density-scaled
+  // cell of the default grid, so on a finer grid this cuts the ~25
+  // point visits per 3-NN to ~2 (gprof: the queries were 65 % of a
+  // no-board pass-2 search).
+  void knn_radius(float qx, float qy, int k, float r2,
+                  std::vector<std::pair<float, int>>& out) const {
+    const auto& saddles = *pts;
+    const int total = (int)items.size();
+    float bd[4] = {1e30f, 1e30f, 1e30f, 1e30f};
+    int bi[4] = {-1, -1, -1, -1};
+    int n0 = 0, visited = 0;
+    int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
+    int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
+    int max_ring =
+        std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
+    auto scan_cell = [&](int gx, int gy) {
+      size_t c = (size_t)gy * nx + gx;
+      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
+        int i = items[ii];
+        ++visited;
+        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+        float d = dx * dx + dy * dy;
+        if (d > r2) continue;  // the caller would drop it anyway
+        if (n0 == k && d >= bd[k - 1]) continue;
+        int j = std::min(n0, k - 1);
+        while (j > 0 && bd[j - 1] > d) {
+          bd[j] = bd[j - 1];
+          bi[j] = bi[j - 1];
+          --j;
+        }
+        bd[j] = d;
+        bi[j] = i;
+        if (n0 < k) ++n0;
+      }
+    };
+    for (int ring = 0; ring <= max_ring; ++ring) {
+      int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
+      int ya = cy - ring, yb = cy + ring;
+      if (ring == 0) {
+        scan_cell(cx, cy);
+      } else {
+        if (ya >= 0)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);
+        if (yb < ny)
+          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);
+        int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
+        if (cx - ring >= 0)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+        if (cx + ring < nx)
+          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
+      }
+      if (visited >= total) break;
+      // any unvisited point is farther than (ring-1) cells; stop once
+      // that exceeds both the radius and (when full) the kth-best
+      if (ring >= 1) {
+        float safe = (float)(ring - 1) * cell;
+        float bound = n0 == k ? std::min(r2, bd[k - 1]) : r2;
+        if (safe * safe >= bound) break;
+      }
+    }
+    out.clear();
+    for (int j = 0; j < n0; ++j) out.emplace_back(bd[j], bi[j]);
+  }
 };
 
 // Memoized expansion-candidate lists. closest_potential's 3-NN search,
@@ -380,15 +472,18 @@ struct Workspace {
 
 struct Searcher {
   const std::vector<Saddle>& s;
-  const SpatialGrid& grid;
+  const SpatialGrid& grid;        // density-scaled cells (seed 50-NN, 1-NN)
+  const SpatialGrid& grid_fine;   // 4x finer cells (radius-bounded 3-NN)
   float spacing;
   Workspace& ws;
   PairCache& cache;
   int score = 0;
 
   Searcher(const std::vector<Saddle>& saddles, const SpatialGrid& g,
-           float spacing_ratio, Workspace& w, PairCache& pc)
-      : s(saddles), grid(g), spacing(spacing_ratio), ws(w), cache(pc) {}
+           const SpatialGrid& gf, float spacing_ratio, Workspace& w,
+           PairCache& pc)
+      : s(saddles), grid(g), grid_fine(gf), spacing(spacing_ratio), ws(w),
+        cache(pc) {}
 
   // find_closest_potential_saddle_idxs (src/board.rs:177-234); the
   // active-agnostic candidate lists are memoized per (ai, bi) edge
@@ -405,18 +500,25 @@ struct Searcher {
       float radius_sq = 0.5f * (vx * vx + vy * vy);
       e.key = ((uint32_t)ai << 16) | (uint32_t)bi;
       e.n0 = e.n1 = 0;
-      grid.knn(a.x + vx * ratio, a.y + vy * ratio, 3, ws.nn);
-      for (auto& [dsq, idx] : ws.nn) {
-        if (dsq <= radius_sq &&
-            theta_distance_degree(a.theta, s[idx].theta) < 5.0f)
-          e.c0[e.n0++] = (int16_t)idx;
-      }
-      grid.knn(b.x + vx * ratio, b.y + vy * ratio, 3, ws.nn);
-      for (auto& [dsq, idx] : ws.nn) {
-        if (dsq <= radius_sq &&
-            theta_distance_degree(b.theta, s[idx].theta) < 5.0f)
-          e.c1[e.n1++] = (int16_t)idx;
-      }
+      // radius-bounded 3-NN on the fine grid == 3-NN + dsq<=radius_sq
+      // filter on any grid (same set, same order); the huge-radius
+      // degenerate edges fall back to the coarse grid so the ring walk
+      // never crawls hundreds of near-empty fine cells
+      bool fine = radius_sq <= 16.0f * grid_fine.cell * grid_fine.cell;
+      auto query = [&](float qx, float qy, const Saddle& ref,
+                       int16_t* dst, int8_t& cnt) {
+        if (fine)
+          grid_fine.knn_radius(qx, qy, 3, radius_sq, ws.nn);
+        else
+          grid.knn(qx, qy, 3, ws.nn);
+        for (auto& [dsq, idx] : ws.nn) {
+          if (dsq <= radius_sq &&
+              theta_distance_degree(ref.theta, s[idx].theta) < 5.0f)
+            dst[cnt++] = (int16_t)idx;
+        }
+      };
+      query(a.x + vx * ratio, a.y + vy * ratio, a, e.c0, e.n0);
+      query(b.x + vx * ratio, b.y + vy * ratio, b, e.c1, e.n1);
     }
     n0 = n1 = 0;
     for (int j = 0; j < e.n0; ++j)
@@ -425,24 +527,43 @@ struct Searcher {
       if (ws.active[e.c1[j]]) out1[n1++] = e.c1[j];
   }
 
-  // try_expand_one (src/board.rs:153-176)
+  // try_expand_one (src/board.rs:153-176). The 3^4 candidate nest
+  // dominated no-board pass-2 scenes (measured ~211k is_valid_quad
+  // calls/frame on iphone.png's leftovers); the quad gates that depend
+  // on only (c1, c3) or (c0, c2) are evaluated once per pair instead of
+  // per combo. Identical predicates in identical first-accept order, so
+  // the returned quad is exactly the reference's.
   bool try_expand_one(const int q[4], int out[4]) {
     int n0, n1, n2, n3;
     int c0[3], c1[3], c2[3], c3[3];
     closest_potential(q[0], q[1], c0, n0, c1, n1);
     if (n0 == 0 || n1 == 0) return false;
     closest_potential(q[3], q[2], c3, n3, c2, n2);
+    if (n2 == 0 || n3 == 0) return false;
+    bool g13[3][3], any13 = false;
+    for (int i1 = 0; i1 < n1; ++i1)
+      for (int i3 = 0; i3 < n3; ++i3)
+        any13 |= (g13[i1][i3] = gate_diag_theta(s[c1[i1]], s[c3[i3]]));
+    if (!any13) return false;
+    bool g02[3][3];
+    for (int i0 = 0; i0 < n0; ++i0)
+      for (int i2 = 0; i2 < n2; ++i2)
+        g02[i0][i2] = gate_v02_angle(s[c0[i0]], s[c2[i2]]);
     for (int i0 = 0; i0 < n0; ++i0)
       for (int i1 = 0; i1 < n1; ++i1)
-        for (int i2 = 0; i2 < n2; ++i2)
+        for (int i2 = 0; i2 < n2; ++i2) {
+          if (!g02[i0][i2]) continue;
           for (int i3 = 0; i3 < n3; ++i3)
-            if (is_valid_quad(s[c0[i0]], s[c1[i1]], s[c2[i2]], s[c3[i3]])) {
+            if (g13[i1][i3] &&
+                is_valid_quad_rest(s[c0[i0]], s[c1[i1]], s[c2[i2]],
+                                   s[c3[i3]])) {
               out[0] = c0[i0];
               out[1] = c1[i1];
               out[2] = c2[i2];
               out[3] = c3[i3];
               return true;
             }
+        }
     return false;
   }
 
@@ -540,12 +661,23 @@ void init_quads(const std::vector<Saddle>& s, const SpatialGrid& grid,
     else if (td > 80.0f)
       diff.push_back(idx);
   }
+  // hoisted quad gates: gate 1 depends on the (d0, d1) pair only —
+  // compute each of the C(|diff|, 2) pair verdicts once instead of per
+  // s1 — and gate 2 on (s0, s1) only — once per s1 instead of per pair.
+  // Identical predicates, identical enumeration order.
+  size_t nd = diff.size();
+  std::vector<uint8_t> g1(nd * nd);
+  for (size_t a = 0; a < nd; ++a)
+    for (size_t b = a + 1; b < nd; ++b)
+      g1[a * nd + b] = gate_diag_theta(s[diff[a]], s[diff[b]]);
   for (int s1_idx : same) {
+    if (!gate_v02_angle(s0, s[s1_idx])) continue;
     for (size_t a = 0; a < diff.size(); ++a) {
       for (size_t b = a + 1; b < diff.size(); ++b) {
+        if (!g1[a * nd + b]) continue;
         const Saddle& d0 = s[diff[a]];
         const Saddle& d1 = s[diff[b]];
-        if (!is_valid_quad(s0, d0, s[s1_idx], d1)) continue;
+        if (!is_valid_quad_rest(s0, d0, s[s1_idx], d1)) continue;
         float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
         float v02x = s[s1_idx].x - s0.x, v02y = s[s1_idx].y - s0.y;
         if (cross(v01x, v01y, v02x, v02y) > 0.0f)
@@ -589,6 +721,8 @@ int ag_find_board(const float* px, const float* py, const float* theta,
 
   SpatialGrid grid;
   grid.build(s);
+  SpatialGrid grid_fine;
+  grid_fine.build(s, 0.25f);
 
   // theta histogram over integer degrees in [-90, 90]; largest bucket,
   // seeds popped back-to-front (src/detector.rs:601-617)
@@ -606,7 +740,7 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   Workspace ws, best_ws;
   PairCache cache;
   cache.reset(m);
-  Searcher searcher(s, grid, spacing_ratio, ws, cache);
+  Searcher searcher(s, grid, grid_fine, spacing_ratio, ws, cache);
   int best_score = 0;
   std::vector<std::array<int, 4>> best_quads;
   std::vector<int> best_cellmap;

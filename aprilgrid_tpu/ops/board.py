@@ -48,7 +48,12 @@ class BoardState(NamedTuple):
     pruned: jnp.ndarray     # () int32 — expansion attempts whose k-NN
     #                         pool provably may have missed a true 3-NN
     #                         (density-assumption overflow — see
-    #                         propose_expansions; 0 on all bundled data)
+    #                         propose_expansions; small nonzero counts
+    #                         occur benignly on normal scenes, e.g.
+    #                         degenerate candidate quads extrapolating
+    #                         far-away targets, so this is an audit
+    #                         counter surfaced via DetectResult.flags,
+    #                         not a warning)
 
 
 @functools.lru_cache(maxsize=None)

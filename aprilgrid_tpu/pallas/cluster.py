@@ -19,9 +19,17 @@ top-most (minimum linear index) pixel. Per window, entirely in VMEM:
 3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
    densely — cone smoothing (25 taps) then the 5 fit coefficients as
    SEPARABLE rank-1 stencils (shared 5-tap vertical + 5-tap horizontal
-   passes) — and sampled at each centroid with the scalar subpixel
-   solve and acceptance gates; accepted candidates append-compact into
-   a per-frame buffer with [accepted, dropped] counters.
+   passes) — and, still densely, the WHOLE candidate record per pixel:
+   refined position (x, y), quadric coefficients (c3, c4, c5) and the
+   accept-gate bit (d < 0, |move| <= thr, |c5| < k), using the exact
+   f32 op sequence of src/detector.rs:330-356. The per-root loop then
+   only scans members for the centroid and reads the precomputed record
+   at the rounded centroid — the scalar subpixel solve, gate math and
+   4/5 of the coefficient picks never run per root, and rejected roots
+   (~78 % of blobs on the bundled scenes) skip the record read's
+   reduction tail and the append entirely. Accepted candidates
+   append-compact into a per-frame buffer with [accepted, dropped]
+   counters.
 
 One blur-window read per tile (~1.44x one image plane of HBM traffic
 total). Clusters spanning more than ~40 rows are dropped and COUNTED
@@ -58,6 +66,12 @@ _SUB = 48       # member-scan row window per cluster: root row lands in
                 # surfaced drop counter). A 40-row window was measured
                 # only ~2 ms faster at b64 — not worth the margin
 _SUBW = 256     # member-scan lane window per cluster (>= max blob width)
+_SUBF = 24      # FAST member-scan rows: root row lands in [0, 7] after
+                # 8-alignment, so 24 rows cover blobs up to 16 rows tall
+                # (98-100 % of the bundled scenes); taller blobs defer to
+                # a post-drain 48-row re-scan via the tall list
+_TALLCAP = 256  # per-window tall-root list capacity (overflow counts as
+                # drops — surfaced, not silent; typical occupancy is 0-2)
 
 
 @functools.lru_cache(maxsize=None)
@@ -90,7 +104,7 @@ def _window_start(ti, hp):
 
 def _kernel(
     thr_ref, blur_hbm, out_ref, cnt_ref, blur_w, lab_ref, fbuf,
-    rem_ref, rm2_ref, rm3_ref, cur_ref, sem,
+    rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref, sem,
     *, h, w, hp2, move_thr, capf,
 ):
     bi = pl.program_id(0)
@@ -138,7 +152,7 @@ def _kernel(
 
     _compute(
         thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, rem_ref,
-        rm2_ref, rm3_ref, cur_ref,
+        rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
         capf=capf,
     )
@@ -157,7 +171,7 @@ def _kernel(
 
 def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
-    cur_ref,
+    cur_ref, tall_ref,
     *, bi, ti, row0, h, w, hp2, move_thr, capf,
 ):
     thr = thr_ref[bi, 0]
@@ -198,7 +212,7 @@ def _compute(
     def _window_body():
         _compute_clusters(
             mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf,
-            rem_ref, rm2_ref, rm3_ref, cur_ref,
+            rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
             capf=capf,
         )
@@ -206,7 +220,7 @@ def _compute(
 
 def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
-    rm2_ref, rm3_ref, cur_ref,
+    rm2_ref, rm3_ref, cur_ref, tall_ref,
     *, ti, row0, h, w, hp2, move_thr, capf,
 ):
     wp = blur.shape[1]
@@ -288,26 +302,58 @@ def _compute_clusters(
     # 5-tap vertical + one 5-tap horizontal pass; the vertical factors
     # repeat across coefficients and are shared
     vcache: dict = {}
+    aplane = []
     for j in range(5):
         cvec, rvec = _pinv_rank1(hp2)[j]
         key = tuple(np.round(cvec, 12))
         if key not in vcache:
             vcache[key] = stencil_1d(smooth, cvec, 0)
-        fbuf[j] = stencil_1d(vcache[key], rvec, 1)
+        aplane.append(stencil_1d(vcache[key], rvec, 1))
+    a1, a2, a3, a4, a5 = aplane
+    # --- dense candidate record (reference src/detector.rs:330-356).
+    # The SAME f32 expressions the per-root scalar chain used to
+    # evaluate, now evaluated once per pixel; each root just reads the
+    # record at its rounded centroid, so the decision data is
+    # bit-identical to the scalar path's. fp-exact reference op
+    # sequence on purpose (plain divides, sqrt'd |c5| < k gate) — see
+    # the note that used to live in the root loop. Window-edge rows get
+    # roll-wraparound garbage here; every consumer is gated by
+    # margin_ok/in_b below, exactly as before.
+    dqf = (2.0 * a1) * (2.0 * a3) - a2 * a2
+    safe_d = jnp.where(dqf == 0.0, 1.0, dqf)
+    x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
+    y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
+    c5p = (a1 + a3) * 0.5
+    c4p = (a1 - a3) * 0.5
+    c3p = a2 * 0.5
+    kkp = jnp.sqrt(c4p * c4p + c3p * c3p)
+    okf = (
+        (dqf < 0.0)
+        & (jnp.abs(x0) <= move_thr)
+        & (jnp.abs(y0) <= move_thr)
+        & (jnp.abs(c5p) < kkp)
+    )
+    fbuf[0] = cloc.astype(jnp.float32) + x0
+    fbuf[1] = grow.astype(jnp.float32) + y0
+    fbuf[2] = c3p
+    fbuf[3] = c4p
+    fbuf[4] = c5p
+    fbuf[5] = okf.astype(jnp.float32)
 
     iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
     nblk = wp // 128
 
-    def pick5(lr8, cb, onehot):
-        # point lookup of all 5 fit coefficients from ONE aligned
-        # (5, 8, 128) dynamic load (dynamic VMEM loads must be
+    def pick_record(lr8, cb, onehot):
+        # point lookup of the candidate record from ONE aligned
+        # (6, 8, 128) dynamic load (dynamic VMEM loads must be
         # 8/128-aligned; the one-hot selects within the block) — one
-        # address generation instead of five. The reductions stay
-        # per-plane scalars: Mosaic cannot extract lanes of a (5,)
-        # reduced vector (vector.extract layout restriction)
-        v = fbuf[:, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot[None, :, :]
-        return [jnp.sum(v[j]) for j in range(5)]
+        # address generation for all six planes. The reductions stay
+        # per-plane scalars: Mosaic cannot extract lanes of a (6,)
+        # reduced vector (vector.extract layout restriction). Only the
+        # gate bit (plane 5) is reduced eagerly; callers reduce the
+        # other planes lazily, under the accept branch.
+        return fbuf[:, pl.ds(lr8, 8), pl.ds(cb, 128)] * onehot[None, :, :]
 
     # Root extraction, two-level region drain. The yet-unextracted root
     # labels live in `rem_ref`; rm3 = min label per (8-row, 128-lane)
@@ -323,12 +369,15 @@ def _compute_clusters(
     # restores the reference's ascending-label enumeration with one
     # cheap XLA sort over the compacted rows.
     # loop-invariant member-scan iotas/masks, hoisted out of the hot loop
-    subrow = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _SUBW), 0)
+    subrows = {
+        r: jax.lax.broadcasted_iota(jnp.int32, (r, _SUBW), 0)
+        for r in (_SUBF, _SUB)
+    }
     subcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, _SUBW), 1)
     lane_first = (subcol1 == 0).astype(jnp.int32)
     lane_last = (subcol1 == _SUBW - 1).astype(jnp.int32)
 
-    def process_roots(lbls, ens):
+    def process_roots(lbls, ens, rows, collect_tall):
         # Process a small batch of roots with every STEP emitted for all
         # roots before the next step (member scans, then marginals, then
         # picks, ...). The chains share no data, and step-interleaved
@@ -336,8 +385,20 @@ def _compute_clusters(
         # latencies — two sequential full-body calls did not. ``ens``
         # masks a slot off (odd remainder): its loads hit clamped
         # addresses and its gates force reject.
+        #
+        # ``rows``/``collect_tall``: the hot drain path scans a
+        # _SUBF(24)-row member window — it covers ~98-100 % of real
+        # blobs and the scan's vector issue count is what the loop is
+        # bound on. Roots whose blob touches the fast window's last two
+        # rows are APPENDED (branchlessly) to a tall list and re-scanned
+        # after the drain with the full _SUB(48)-row window
+        # (collect_tall=False), where the exact border/drop semantics of
+        # the old single-window code apply. Emission order moves those
+        # roots to the end — harmless, the downstream label sort
+        # restores reference enumeration order.
         n_r = len(lbls)
         rr = range(n_r)
+        subrow = subrows[rows]
         lroot = [
             pl.multiple_of(
                 (jnp.clip((lbls[i] >> 16) - row0, 0, _WIN - _SUB) // 8) * 8,
@@ -352,11 +413,8 @@ def _compute_clusters(
             )
             for i in rr
         ]
-        # member scan over a _SUB-row x 256-lane window around each root
-        # (blobs span <= ~30 px; anything touching the scan border that
-        # could continue beyond it is dropped below)
         sub = [
-            lab_ref[pl.ds(lroot[i], _SUB), pl.ds(cstart[i], _SUBW)]
+            lab_ref[pl.ds(lroot[i], rows), pl.ds(cstart[i], _SUBW)]
             for i in rr
         ]
         member = [(sub[i] == lbls[i]).astype(jnp.int32) for i in rr]
@@ -368,14 +426,30 @@ def _compute_clusters(
         cnt_i = [jnp.sum(colsum[i]) for i in rr]
         scol = [jnp.sum(colsum[i] * subcol1) for i in rr]
         srow = [jnp.sum(member[i] * subrow) for i in rr]
-        # border contact => the blob may continue outside the scan
-        # window => drop (counted). Bottom from the last-2-row slice,
-        # left/right from the column marginal's edge lanes.
-        bot = [jnp.sum(member[i][_SUB - 2 :, :]) > 0 for i in rr]
+        # blob touches the last-2-row slice => it may continue below the
+        # scanned window
+        bot = [jnp.sum(member[i][rows - 2 :, :]) > 0 for i in rr]
+        if collect_tall:
+            # fast path: a bottom touch means "rescan with the full
+            # window later", never a drop verdict
+            tall = [bot[i] & ens[i] for i in rr]
+            for i in rr:
+                tc = cur_ref[2]
+                tall_ref[jnp.minimum(tc, _TALLCAP - 1)] = lbls[i]
+                cur_ref[2] = tc + tall[i].astype(jnp.int32)
+            drop_bot = [jnp.bool_(False) for _ in rr]
+        else:
+            tall = [jnp.bool_(False) for _ in rr]
+            # full window: bottom contact is the real blob-size cap
+            # (counted drop), unless the window bottom IS the image edge
+            drop_bot = [
+                bot[i] & (row0 + lroot[i] + _SUB - 1 < h - 1) for i in rr
+            ]
+        # lateral border contact => drop (counted), as before
         lft = [jnp.sum(colsum[i] * lane_first) > 0 for i in rr]
         rgt = [jnp.sum(colsum[i] * lane_last) > 0 for i in rr]
         bad = [
-            (bot[i] & (row0 + lroot[i] + _SUB - 1 < h - 1))
+            drop_bot[i]
             | (lft[i] & (cstart[i] > 0))
             | (rgt[i] & (cstart[i] + _SUBW < w))
             for i in rr
@@ -418,44 +492,28 @@ def _compute_clusters(
             for i in rr
         ]
 
-        # scalar ROCHADE math (reference src/detector.rs:330-356)
-        a = [pick5(lr8[i], cb[i], onehot[i]) for i in rr]
-        d = [(2.0 * a[i][0]) * (2.0 * a[i][2]) - a[i][1] * a[i][1] for i in rr]
-        # fp-exact reference op sequence on purpose: plain divides and
-        # the sqrt'd |c5| < k gate (NOT reciprocal-multiply / squared
-        # compares, which are mathematically but not floating-point
-        # equivalent and could flip a borderline accept vs the oracle)
-        safe_d = [jnp.where(d[i] == 0, 1.0, d[i]) for i in rr]
-        x0 = [
-            (-2.0 * a[i][2] * a[i][3] + a[i][1] * a[i][4]) / safe_d[i]
-            for i in rr
-        ]
-        y0 = [
-            (-2.0 * a[i][0] * a[i][4] + a[i][1] * a[i][3]) / safe_d[i]
-            for i in rr
-        ]
-        c5 = [(a[i][0] + a[i][2]) * 0.5 for i in rr]
-        c4 = [(a[i][0] - a[i][2]) * 0.5 for i in rr]
-        c3 = [a[i][1] * 0.5 for i in rr]
-        kk = [jnp.sqrt(c4[i] * c4[i] + c3[i] * c3[i]) for i in rr]
-        ok = [
+        # read the precomputed record at the rounded centroid: one
+        # aligned (6, 8, 128) load per root and 6 scalar reductions.
+        # The old scalar subpixel-solve/gate chain (~25 dependent scalar
+        # ops per root) is gone — its results are in the planes, and the
+        # decision data is bit-identical. NOTE: a variant that branched
+        # the row build + append under pl.when(acc) was measured 14 %
+        # SLOWER at b64 (per-root scalar branches flush the in-order
+        # pipeline); branchless it stays.
+        v = [pick_record(lr8[i], cb[i], onehot[i]) for i in rr]
+        okp = [jnp.sum(v[i][5]) for i in rr]
+        # tall roots contribute NOTHING from the fast pass (their sums
+        # cover a truncated window); the tall re-scan both emits and
+        # counts them
+        acc = [
             ens[i]
             & in_b[i]
             & ~bad[i]
+            & ~tall[i]
             & margin_ok[i]
-            & (d[i] < 0.0)
-            & (jnp.abs(x0[i]) <= move_thr)
-            & (jnp.abs(y0[i]) <= move_thr)
-            & (jnp.abs(c5[i]) < kk[i])
+            & (okp[i] > 0.5)
             for i in rr
         ]
-        # append accepted candidates only (rejected ones are ignored by
-        # every consumer, so compacting here keeps the per-frame buffer
-        # small and removes the old per-window slot cliff). The write is
-        # unconditional — branchless: a rejected candidate lands at the
-        # stationary cursor with ok=0 and is overwritten by the next
-        # accepted one (anything left past the final count is filtered
-        # by its ok column downstream). Appends are sequential (cursor).
         scan_lbl = [(lbls[i] >> 16) * w + (lbls[i] & 0xFFFF) for i in rr]
         # angles (theta/phi via atan2/acos) are NOT computed here: the
         # few-thousand compacted rows get them in one cheap XLA pass
@@ -463,13 +521,13 @@ def _compute_clusters(
         vals = [
             jnp.concatenate(
                 [
-                    (rx[i].astype(jnp.float32) + x0[i]).reshape(1, 1),
-                    (ry[i].astype(jnp.float32) + y0[i]).reshape(1, 1),
+                    jnp.sum(v[i][0]).reshape(1, 1),  # x = rx + x0
+                    jnp.sum(v[i][1]).reshape(1, 1),  # y = ry + y0
                     jnp.float32(0.0).reshape(1, 1),  # k derived downstream
-                    c3[i].reshape(1, 1),
-                    c4[i].reshape(1, 1),
-                    c5[i].reshape(1, 1),
-                    jnp.where(ok[i], 1.0, 0.0).reshape(1, 1),
+                    jnp.sum(v[i][2]).reshape(1, 1),  # c3
+                    jnp.sum(v[i][3]).reshape(1, 1),  # c4
+                    jnp.sum(v[i][4]).reshape(1, 1),  # c5
+                    jnp.where(acc[i], 1.0, 0.0).reshape(1, 1),
                     # stored label = scan-order linear index (row*w+col):
                     # exact in f32 up to 2^24 (4K is ~8.3M), unlike the
                     # packed (row<<16)|col form (~141M)
@@ -479,12 +537,19 @@ def _compute_clusters(
             )
             for i in rr
         ]
+        # append accepted candidates only — branchless: a rejected
+        # candidate lands at the stationary cursor with ok=0 and is
+        # overwritten by the next accepted one (anything left past the
+        # final count is filtered by its ok column downstream)
         for i in rr:
             cur = cur_ref[0]
-            app = ok[i] & (cur < capf)
+            app = acc[i] & (cur < capf)
             out_ref[0, pl.ds(jnp.minimum(cur, capf - 1), 1), :] = vals[i]
             cur_ref[0] = cur + app.astype(jnp.int32)
-            cur_ref[1] = cur_ref[1] + (bad[i] & ens[i]).astype(jnp.int32)
+            cur_ref[1] = (
+                cur_ref[1]
+                + (bad[i] & ~tall[i] & ens[i]).astype(jnp.int32)
+            )
 
     def drain_region(state):
         nproc, rm3v, m = state
@@ -507,7 +572,10 @@ def _compute_clusters(
             en2 = lbl2 < big
             # two slots measured best: 4 wastes too many masked slots on
             # small regions (162 vs 155 ms at b64)
-            process_roots([lbl, lbl2], [jnp.bool_(True), en2])
+            process_roots(
+                [lbl, lbl2], [jnp.bool_(True), en2],
+                rows=_SUBF, collect_tall=True,
+            )
             reg3 = jnp.where(reg2 == lbl2, big, reg2)
             return (
                 iproc + 1 + en2.astype(jnp.int32),
@@ -536,12 +604,27 @@ def _compute_clusters(
         rm3_ref[g : g + 1, :] = jnp.min(
             rm2v[8 * g : 8 * (g + 1), :], axis=0, keepdims=True
         )
+    cur_ref[2] = jnp.int32(0)  # tall list is per window
     rm3v0 = rm3_ref[:, :]
     lax.while_loop(
         lambda st: (st[0] < _MAX_ROOTS) & (st[2] < big),
         drain_region,
         (jnp.int32(0), rm3v0, jnp.min(rm3v0)),
     )
+
+    # second drain over the (rare) tall roots with the full 48-row
+    # member window; list overflow beyond _TALLCAP is surfaced on the
+    # drop counter (never silent)
+    n_tall = cur_ref[2]
+
+    def tall_body(i, carry):
+        process_roots(
+            [tall_ref[i]], [jnp.bool_(True)], rows=_SUB, collect_tall=False
+        )
+        return carry
+
+    lax.fori_loop(0, jnp.minimum(n_tall, _TALLCAP), tall_body, jnp.int32(0))
+    cur_ref[1] = cur_ref[1] + jnp.maximum(n_tall - _TALLCAP, 0)
 
 
 @functools.partial(
@@ -572,6 +655,15 @@ def cluster_rochade(
     b, hp, wp = blur.shape
     assert hp >= _WIN and hp % 8 == 0, "padded height must be 8-aligned >= 88"
     assert wp % 128 == 0
+    # label packing/sort-key domain limits (advisor finding, round 2):
+    # packed labels store col in 16 bits, and the scan-order sort key
+    # row*w+col must stay exact in f32 (< 2^24) for the reference's
+    # enumeration order to survive the downstream argsort
+    assert w < 2**16, f"width {w} overflows the packed (row<<16|col) label"
+    assert h * w < 2**24, (
+        f"{h}x{w} scan-order indices exceed f32's exact-integer range; "
+        "the restored cluster enumeration order would be corrupted"
+    )
     tiles = -(-h // _BAND)
     nblk = wp // 128
 
@@ -601,11 +693,12 @@ def cluster_rochade(
         scratch_shapes=[
             pltpu.VMEM((2, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
-            pltpu.VMEM((5, _WIN, wp), jnp.float32),
+            pltpu.VMEM((6, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((_WIN, nblk), jnp.int32),
             pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM((_TALLCAP,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(

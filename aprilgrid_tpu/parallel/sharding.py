@@ -43,15 +43,48 @@ def make_mesh(axis_sizes: dict[str, int], devices=None) -> Mesh:
     return Mesh(arr, tuple(axis_sizes.keys()))
 
 
-def detect_batch_sharded(detector, imgs: np.ndarray, mesh: Mesh, axis: str = "data"):
+def detect_batch_sharded(
+    detector, imgs: np.ndarray, mesh: Mesh, axis: str = "data"
+) -> list[dict[int, list[tuple[float, float]]]]:
     """Data-parallel batched detect: frames sharded across ``axis``.
 
-    The per-frame pipeline is pure ``vmap`` inside ``jit``; annotating the
-    batch dim is all XLA needs to run shards independently per chip.
+    Works for BOTH detector modes and returns the same ``{id: corners}``
+    dicts as ``detect_batch`` (one per frame, batch order):
+
+    * ``mode="xla"``: the whole pipeline is one jit; annotating the batch
+      dim is all XLA needs to run shards independently per chip.
+    * ``mode="hybrid"`` (production): the device stages (packed saddle
+      front-end, decode) run DP-sharded over the mesh — zero cross-chip
+      traffic — while the board search runs on the host over the gathered
+      (tiny) saddle arrays via the threaded native batch API
+      (native/search.cpp:658-688). Board-search results are re-uploaded
+      with the same batch sharding so decode stays distributed.
     """
     spec = P(axis, *([None] * (imgs.ndim - 1)))
     sharded = jax.device_put(jnp.asarray(imgs), NamedSharding(mesh, spec))
-    return detector._detect_batch_fn(sharded)
+    if detector.mode == "hybrid":
+        def put(arr):
+            s = P(axis, *([None] * (arr.ndim - 1)))
+            return jax.device_put(
+                jnp.asarray(arr), NamedSharding(mesh, s)
+            )
+
+        # one chunk: the chunked software pipeline exists to overlap a
+        # single host core with one relay-attached chip; under a mesh the
+        # whole batch goes through as one DP-sharded wave per pass
+        return detector._detect_hybrid(sharded, chunk=int(imgs.shape[0]),
+                                       put=put)
+    res = detector._detect_batch_fn(sharded)
+    res = jax.tree.map(np.asarray, res)
+    from ..pipeline import DetectResult
+    from ..detector import _unpack_result, _warn_flags
+
+    if res.flags is not None:
+        _warn_flags(res.flags)
+    return [
+        _unpack_result(DetectResult(res.ids[i], res.corners[i], res.valid[i]))
+        for i in range(res.ids.shape[0])
+    ]
 
 
 def _halo_exchange_rows(x: jnp.ndarray, halo: int, axis: str) -> jnp.ndarray:

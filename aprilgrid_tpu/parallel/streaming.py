@@ -84,7 +84,13 @@ def detect_stream(detector: TagDetector, batches, prefetch: int = 2):
             arr = next(it)
         except StopIteration:
             return False
-        queue.append(jax.device_put(jnp.asarray(arr)))  # async upload
+        # the RAW host array goes straight to device_put: jnp.asarray
+        # would itself commit (and possibly block on) a default-device
+        # transfer first, making the device_put a no-op and killing the
+        # async overlap this prefetch exists for (advisor finding, r2)
+        if not isinstance(arr, np.ndarray) and not hasattr(arr, "devices"):
+            arr = np.asarray(arr)
+        queue.append(jax.device_put(arr))  # async upload
         return True
 
     for _ in range(max(1, prefetch)):

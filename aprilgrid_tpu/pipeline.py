@@ -81,13 +81,22 @@ def saddle_frontend_batch(
     consts: PipelineConstants,
     caps: Capacities,
     use_pallas: bool = False,
-) -> tuple[Saddles, jnp.ndarray]:
+    with_counters: bool = False,
+):
     """Batched front-end. The Pallas kernels handle the batch dimension
     in their grids (pallas_call cannot be vmapped); everything else vmaps.
 
     Pallas path: fused stencil kernel (blur + Hessian, padded planes),
     then the fused clustering + ROCHADE kernel — no whole-image
     intermediate beyond the two planes ever hits HBM.
+
+    ``with_counters`` appends a (B, 3) f32 capacity-counter array to the
+    return: [candidate-buffer overflow flag, oversized clusters dropped
+    at the member-scan cap, saddle slots full flag]. Non-zero entries
+    mean the fixed-capacity pipeline MAY have diverged from the
+    reference on that frame; the facade surfaces them as warnings.
+    The XLA ops path has no candidate buffer or blob-size cap, so its
+    first two counters are always 0.
     """
     import jax
 
@@ -112,7 +121,7 @@ def saddle_frontend_batch(
             jnp.min(tile_min, axis=(1, 2, 3))
             * consts.response_threshold_ratio
         )
-        fields, _counts = cluster_rochade(
+        fields, counts = cluster_rochade(
             blur_p,
             thr,
             h,
@@ -130,6 +139,20 @@ def saddle_frontend_batch(
                 params.max_saddle_angle,
             )
         )(raw)
+        if with_counters:
+            from .pallas.cluster import _CAPF
+
+            counters = jnp.stack(
+                [
+                    (counts[:, 0] >= _CAPF).astype(jnp.float32),
+                    counts[:, 1],
+                    jax.vmap(lambda s: jnp.all(s.valid))(saddles).astype(
+                        jnp.float32
+                    ),
+                ],
+                axis=1,
+            )
+            return saddles, luma_u8, counters
         return saddles, luma_u8
     luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
     if use_pallas:
@@ -142,6 +165,19 @@ def saddle_frontend_batch(
     saddles = jax.vmap(
         lambda b, r: _frontend_tail(b, r, params, consts, caps)
     )(blur, resp)
+    if with_counters:
+        zeros = jnp.zeros(imgs.shape[0], jnp.float32)
+        counters = jnp.stack(
+            [
+                zeros,
+                zeros,
+                jax.vmap(lambda s: jnp.all(s.valid))(saddles).astype(
+                    jnp.float32
+                ),
+            ],
+            axis=1,
+        )
+        return saddles, luma_u8, counters
     return saddles, luma_u8
 
 
@@ -151,6 +187,10 @@ class DetectResult(NamedTuple):
     ids: jnp.ndarray      # (P * G2,) int32, -1 where invalid
     corners: jnp.ndarray  # (P * G2, 4, 2) float32
     valid: jnp.ndarray    # (P * G2,) bool
+    # (2,) f32 capacity audit [saddle slots full, kNN-pool prunes] —
+    # non-zero means the fixed-capacity pipeline MAY diverge from the
+    # reference on this frame; the facade warns (None on legacy paths)
+    flags: jnp.ndarray | None = None
 
 
 def detect_tail(
@@ -161,13 +201,18 @@ def detect_tail(
     consts: PipelineConstants,
     caps: Capacities,
     true_shape: tuple[int, int] | None = None,
+    slots_full=None,
 ) -> DetectResult:
     """``max_num_of_boards`` rounds of board search + decode, removing
     the saddles of successfully decoded tags between rounds
-    (reference src/detector.rs:510-538). Per frame (vmappable)."""
+    (reference src/detector.rs:510-538). Per frame (vmappable).
+
+    ``slots_full``: optional scalar from the front-end (saddle capacity
+    audit) folded into the result's ``flags``."""
     n = saddles.valid.shape[0]
     alive = saddles.valid
 
+    pruned = jnp.float32(0.0)
     all_ids = []
     all_corners = []
     all_valid = []
@@ -202,6 +247,7 @@ def detect_tail(
         all_ids.append(decoded.ids)
         all_corners.append(decoded.corners)
         all_valid.append(decoded.valid)
+        pruned = pruned + res.board.pruned.astype(jnp.float32)
         # only successfully decoded quads release their saddles
         # (src/detector.rs:517-536)
         used = jnp.where(decoded.valid[:, None], quad_idx, n)
@@ -211,6 +257,13 @@ def detect_tail(
         ids=jnp.concatenate(all_ids),
         corners=jnp.concatenate(all_corners),
         valid=jnp.concatenate(all_valid),
+        flags=jnp.stack(
+            [
+                jnp.float32(0.0) if slots_full is None
+                else slots_full.astype(jnp.float32),
+                pruned,
+            ]
+        ),
     )
 
 
@@ -224,7 +277,10 @@ def detect_pipeline(
 ) -> DetectResult:
     """Full detect() (reference src/detector.rs:505-540) for one image."""
     saddles, luma8 = saddle_frontend(img, params, consts, caps, use_pallas)
-    return detect_tail(saddles, luma8, spec, params, consts, caps)
+    return detect_tail(
+        saddles, luma8, spec, params, consts, caps,
+        slots_full=jnp.all(saddles.valid),
+    )
 
 
 def detect_pipeline_batch(
@@ -241,5 +297,8 @@ def detect_pipeline_batch(
     hw = (imgs.shape[1], imgs.shape[2])
     saddles, luma8 = saddle_frontend_batch(imgs, params, consts, caps, use_pallas)
     return jax.vmap(
-        lambda s, l8: detect_tail(s, l8, spec, params, consts, caps, hw)
+        lambda s, l8: detect_tail(
+            s, l8, spec, params, consts, caps, hw,
+            slots_full=jnp.all(s.valid),
+        )
     )(saddles, luma8)

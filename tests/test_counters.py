@@ -1,0 +1,46 @@
+"""Capacity-counter surfacing: when a fixed-capacity stage fills up, the
+facade must WARN instead of silently risking divergence from the
+reference (round-2 verdict, "What's weak" #5 / "do this" #6)."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from aprilgrid_tpu.detector import TagDetector
+from aprilgrid_tpu.oracle.numpy_ref import load_image
+
+
+def _tiny_saddle_caps():
+    from aprilgrid_tpu.config import DEFAULT_CAPACITIES
+
+    # EuRoC has ~191 ROCHADE-accepted saddles; 64 slots must overflow
+    return dataclasses.replace(DEFAULT_CAPACITIES, max_saddles=64)
+
+
+def test_saddle_overflow_warns_xla(data_dir):
+    img = load_image(str(data_dir / "EuRoC.png"))
+    det = TagDetector("t36h11", capacities=_tiny_saddle_caps(), mode="xla")
+    with pytest.warns(RuntimeWarning, match="saddle capacity"):
+        det.detect_batch(np.stack([img]))
+
+
+def test_saddle_overflow_warns_hybrid(data_dir):
+    det = TagDetector("t36h11", capacities=_tiny_saddle_caps(), mode="hybrid")
+    if det.mode != "hybrid":
+        pytest.skip("native toolchain unavailable")
+    img = load_image(str(data_dir / "EuRoC.png"))
+    with pytest.warns(RuntimeWarning, match="saddle capacity"):
+        det.detect_batch(np.stack([img]))
+
+
+def test_no_warning_at_default_capacity(data_dir):
+    """Default capacities must stay silent on the bundled scenes."""
+    import warnings
+
+    img = load_image(str(data_dir / "EuRoC.png"))
+    det = TagDetector("t36h11", mode="xla")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = det.detect_batch(np.stack([img]))
+    assert len(out[0]) == 36

@@ -71,17 +71,44 @@ def test_row_sharded_saddle_frontend_matches_single_chip(data_dir):
 
 
 def test_detect_batch_sharded(data_dir):
+    """xla-mode DP sharding returns the same {id: corners} dicts as the
+    public batch API (round-2 verdict: no raw-DetectResult API seam)."""
     from aprilgrid_tpu.detector import TagDetector
     from aprilgrid_tpu.oracle.numpy_ref import load_image
 
     img = load_image(str(data_dir / "EuRoC.png"))
     imgs = np.stack([img] * 4)
     mesh = make_mesh({"data": 4})
-    det = TagDetector("t36h11")
+    det = TagDetector("t36h11", mode="xla")
     res = detect_batch_sharded(det, imgs, mesh)
-    res = jax.tree.map(np.asarray, res)
-    assert res.valid.shape[0] == 4
-    assert all(res.valid[i].sum() == 36 for i in range(4))
+    assert len(res) == 4
+    assert all(len(r) == 36 for r in res)
+
+
+def test_detect_batch_sharded_hybrid(data_dir):
+    """Hybrid (production) mode multi-chip DP: sharded front-end + host
+    native search + sharded decode must be result-identical to the
+    single-device hybrid path (round-2 verdict item 5)."""
+    from aprilgrid_tpu.detector import TagDetector
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+
+    img = load_image(str(data_dir / "EuRoC.png"))
+    imgs = np.stack([img] * 4)
+    det = TagDetector("t36h11", mode="hybrid")
+    if det.mode != "hybrid":
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    ref = det.detect_batch(imgs)
+    mesh = make_mesh({"data": 4})
+    got = detect_batch_sharded(det, imgs, mesh)
+    assert len(got) == len(ref) == 4
+    for r, g in zip(ref, got):
+        assert set(r) == set(g)
+        for tid in r:
+            np.testing.assert_allclose(
+                np.asarray(g[tid]), np.asarray(r[tid]), atol=1e-5
+            )
 
 
 def test_dryrun_multichip():
