@@ -102,27 +102,84 @@ def _window_start(ti, hp):
     return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
 
 
+def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
+    """Raw slab (_WIN+16 rows of padded u8/u16, channels in lanes) ->
+    blurred window (_WIN, wp) f32 — the same gray conversion + 7-tap
+    separable blur as pallas/frontend.py (bit-identical tap order), so
+    the f32 blur plane never round-trips HBM. Slab rows [0, _WIN+16)
+    hold luma rows [row0-8, row0+_WIN+8); blur rows [3, _WIN+13) are
+    valid, and the returned window slice [8, _WIN+8) is fully interior."""
+    from .frontend import _roll
+
+    radius = (len(taps) - 1) // 2
+    wp = lscr.shape[1] - 256
+    x = slab[:].astype(jnp.int32).astype(jnp.float32)
+    if channels == 3:
+        lf_chunks = []
+        col = 0
+        while col < wp:
+            cw = min(128, wp - col)
+            mf = mats_ref[0 : 3 * cw, 0:cw]
+            xs = x[:, 3 * col : 3 * (col + cw)]
+            lf_chunks.append(
+                jnp.dot(xs, mf, preferred_element_type=jnp.float32)
+            )
+            col += cw
+        lf = jnp.concatenate(lf_chunks, axis=1)
+    elif u16:
+        lf = x / 65535.0
+    else:
+        lf = x / 255.0
+    # lane-guarded staging so horizontal rolls never wrap valid data
+    # into view; guards replicate the clamped-border columns
+    lscr[:, 128 : 128 + wp] = lf
+    lscr[:, 0:128] = jnp.repeat(lf[:, 0:1], 128, axis=1)
+    lscr[:, 128 + wp : 256 + wp] = jnp.repeat(lf[:, w - 1 : w], 128, axis=1)
+    y = lscr[:, :]
+    temp = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        temp = temp + _roll(y, radius - k, 1) * kw
+    blur = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        blur = blur + _roll(temp, radius - k, 0) * kw
+    return blur[8 : 8 + _WIN, 128 : 128 + wp]
+
+
 def _kernel(
-    thr_ref, blur_hbm, out_ref, cnt_ref, blur_w, lab_ref, fbuf,
-    rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref, sem,
-    *, h, w, hp2, move_thr, capf,
+    *refs,
+    h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
+    u16=False,
 ):
+    if from_raw:
+        (mats_ref, thr_ref, src_hbm, out_ref, cnt_ref, blur_w, lscr,
+         lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
+         sem) = refs
+        rows = _WIN + 16  # raw slab: 8 luma-context rows above + below
+        hp = src_hbm.shape[1] - 16
+    else:
+        (thr_ref, src_hbm, out_ref, cnt_ref, blur_w, lab_ref,
+         fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref, sem) = refs
+        mats_ref = None
+        lscr = None
+        rows = _WIN
+        hp = src_hbm.shape[1]
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
-    hp = blur_hbm.shape[1]
     row0 = _window_start(ti, hp)
 
     # double-buffered window DMA: slot parity follows the GLOBAL step
     # (bi*nt + ti) so it stays consistent across batch boundaries when the
-    # per-frame tile count is odd
+    # per-frame tile count is odd. In raw mode the slab holds RAW pixels
+    # (u8/u16, channels in lanes) starting at padded row row0 — i.e.
+    # luma rows [row0-8, row0+_WIN+8) — instead of the f32 blur plane.
     slot = (bi * nt + ti) % 2
 
     @pl.when(jnp.logical_and(bi == 0, ti == 0))
     def _():
         pltpu.make_async_copy(
-            blur_hbm.at[0, pl.ds(row0, _WIN), :], blur_w.at[0], sem.at[0]
+            src_hbm.at[0, pl.ds(row0, rows), :], blur_w.at[0], sem.at[0]
         ).start()
 
     last_t = ti == nt - 1
@@ -133,14 +190,22 @@ def _kernel(
     @pl.when(nbi < nb)
     def _():
         pltpu.make_async_copy(
-            blur_hbm.at[nbi, pl.ds(nrow0, _WIN), :],
+            src_hbm.at[nbi, pl.ds(nrow0, rows), :],
             blur_w.at[1 - slot],
             sem.at[1 - slot],
         ).start()
 
     pltpu.make_async_copy(
-        blur_hbm.at[bi, pl.ds(row0, _WIN), :], blur_w.at[slot], sem.at[slot]
+        src_hbm.at[bi, pl.ds(row0, rows), :], blur_w.at[slot], sem.at[slot]
     ).wait()
+
+    if from_raw:
+        blur = _blur_from_raw(
+            mats_ref, blur_w[slot], lscr, taps=taps, channels=channels,
+            u16=u16, w=w,
+        )
+    else:
+        blur = blur_w[slot]
 
     # the output block is revisited by every tile of the frame: clear it
     # and the append cursor once, at the frame's first tile
@@ -151,7 +216,7 @@ def _kernel(
         cur_ref[1] = jnp.int32(0)
 
     _compute(
-        thr_ref, out_ref, blur_w[slot], lab_ref, fbuf, rem_ref,
+        thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref,
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
         capf=capf,
@@ -708,6 +773,97 @@ def cluster_rochade(
         ),
         interpret=interpret,
     )(thr.reshape(b, 1), blur)
+    return fields, counts[:, 0, 0:2]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
+        "interpret", "capf",
+    ),
+)
+def cluster_rochade_raw(
+    raw_p: jnp.ndarray,  # pad_raw() output: (B, Hp+16, Wp*C) u8/u16
+    thr: jnp.ndarray,    # (B,) f32
+    h: int,
+    w: int,
+    channels: int = 1,
+    u16: bool = False,
+    sigma: float = 1.5,
+    hp2: int = 4,
+    move_thr: float = 1.0,
+    interpret: bool = False,
+    capf: int = _CAPF,
+):
+    """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
+    separable blur are recomputed per window from the (cheap, u8/u16)
+    padded raw input — bit-identical math to pallas/frontend.py — so the
+    f32 blur plane never exists in HBM. Pair with
+    ``front_kernel(..., emit_blur=False)`` which supplies luma8 +
+    tile-min from the same padded raw array. Returns exactly what
+    `cluster_rochade` returns."""
+    from ..ops.frontend import gaussian_kernel
+    from .frontend import _deinterleave_chunk
+
+    b = raw_p.shape[0]
+    hp = raw_p.shape[1] - 16
+    wp = raw_p.shape[2] // channels
+    taps = tuple(float(v) for v in gaussian_kernel(sigma))
+    assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
+    assert hp >= _WIN and hp % 8 == 0
+    assert wp % 128 == 0
+    assert w < 2**16, f"width {w} overflows the packed (row<<16|col) label"
+    assert h * w < 2**24, (
+        f"{h}x{w} scan-order indices exceed f32's exact-integer range"
+    )
+    tiles = -(-h // _BAND)
+    nblk = wp // 128
+    mf, _ = _deinterleave_chunk(128)
+    mats = jnp.asarray(mf)  # (384, 128); gray-luma weights only
+
+    fields, counts = pl.pallas_call(
+        functools.partial(
+            _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
+            from_raw=True, taps=taps, channels=channels, u16=u16,
+        ),
+        grid=(b, tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, capf, 8), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, 128), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, capf, 8), jnp.float32),
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, _WIN + 16, wp * channels), raw_p.dtype),
+            pltpu.VMEM((_WIN + 16, wp + 256), jnp.float32),
+            pltpu.VMEM((_WIN, wp), jnp.int32),
+            pltpu.VMEM((6, _WIN, wp), jnp.float32),
+            pltpu.VMEM((_WIN, wp), jnp.int32),
+            pltpu.VMEM((_WIN, nblk), jnp.int32),
+            pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.SMEM((_TALLCAP,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(mats, thr.reshape(b, 1), raw_p)
     return fields, counts[:, 0, 0:2]
 
 

@@ -160,9 +160,17 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
 
 
 def _front_kernel(
-    mats_ref, raw_hbm, blur_ref, luma8_ref, min_ref, slab, lscr, sem,
-    *, taps, tile_h, w, w_pad, h, channels, u16,
+    mats_ref, raw_hbm, *rest,
+    taps, tile_h, w, w_pad, h, channels, u16, emit_blur=True,
 ):
+    if emit_blur:
+        blur_ref, luma8_ref, min_ref, slab, lscr, sem = rest
+    else:
+        # folded mode: the cluster kernel recomputes gray+blur in-window
+        # straight from the raw frames, so the f32 blur plane never
+        # exists in HBM at all (saves a full-plane write + read)
+        luma8_ref, min_ref, slab, lscr, sem = rest
+        blur_ref = None
     """Fused raw->(blur, luma8, tile_min) kernel: gray conversion, 7-tap
     separable blur and the Hessian-response tile minimum in ONE pass over
     the raw frames — the f32 luma plane never exists in HBM (saves a full
@@ -261,7 +269,8 @@ def _front_kernel(
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
     border = (grow == 0) | (grow >= h - 1) | (gcol == 0) | (gcol >= w - 1)
     center = (slice(8, 8 + tile_h), slice(128, 128 + w_pad))
-    blur_ref[0, :, :] = blur[center]
+    if blur_ref is not None:
+        blur_ref[0, :, :] = blur[center]
     luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
         jnp.uint8
     )
@@ -269,19 +278,15 @@ def _front_kernel(
     min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "interpret"))
-def front_kernel(
-    img: jnp.ndarray, sigma: float = 1.5, interpret: bool = False
-):
-    """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
-    luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
-    fused; outputs are edge-padded to 64-row / 128-lane multiples
-    (response zero in padding) for the cluster kernel."""
+def pad_raw(img: jnp.ndarray):
+    """Edge-pad raw frames for the fused kernels: 8 rows above, row/lane
+    alignment below/right, channels flattened into lanes. Returns
+    (padded (B, Hp+16, Wp*C), h, w, channels, u16) — the SAME padded
+    array feeds both front_kernel and cluster_rochade_raw, so the pad is
+    materialized once."""
     b, hgt, wid = img.shape[:3]
     channels = img.shape[3] if img.ndim == 4 else 1
-    u16 = img.dtype == jnp.uint16
-    taps = tuple(float(v) for v in gaussian_kernel(sigma))
-    assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
+    u16 = bool(img.dtype == jnp.uint16)
     tile_h = 64
     h_pad = -(-hgt // tile_h) * tile_h
     w_pad = -(-wid // 128) * 128
@@ -293,40 +298,82 @@ def front_kernel(
     img = jnp.pad(img, pad_spec, mode="edge")
     if img.ndim == 4:
         img = img.reshape(b, h_pad + 16, w_pad * channels)
+    return img, hgt, wid, channels, u16
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sigma", "interpret", "emit_blur", "pre_padded", "true_shape",
+        "channels", "u16",
+    ),
+)
+def front_kernel(
+    img: jnp.ndarray,
+    sigma: float = 1.5,
+    interpret: bool = False,
+    emit_blur: bool = True,
+    pre_padded: bool = False,
+    true_shape: tuple[int, int] | None = None,
+    channels: int | None = None,
+    u16: bool | None = None,
+):
+    """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
+    luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
+    fused; outputs are edge-padded to 64-row / 128-lane multiples
+    (response zero in padding) for the cluster kernel.
+
+    ``emit_blur=False`` drops the blur plane from the outputs (returns
+    (luma8, tile_min)) — used when the cluster kernel reads the raw
+    frames itself. ``pre_padded=True`` takes a pad_raw() output plus
+    true_shape/channels/u16 instead of raw frames."""
+    if pre_padded:
+        hgt, wid = true_shape
+    else:
+        img, hgt, wid, channels, u16 = pad_raw(img)
+    b = img.shape[0]
+    taps = tuple(float(v) for v in gaussian_kernel(sigma))
+    assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
+    tile_h = 64
+    h_pad = img.shape[1] - 16
+    w_pad = img.shape[2] // channels
 
     mf, mi = _deinterleave_chunk(128)
     mats = jnp.asarray(np.concatenate([mf, mi], axis=1))
 
+    plane_spec = pl.BlockSpec(
+        (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    min_spec = pl.BlockSpec(
+        (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    plane_shape = jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32)
+    luma8_shape = jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8)
+    min_shape = jax.ShapeDtypeStruct(
+        (b, h_pad // tile_h, 8, 128), jnp.float32
+    )
+    if emit_blur:
+        out_specs = (plane_spec, plane_spec, min_spec)
+        out_shape = (plane_shape, luma8_shape, min_shape)
+    else:
+        out_specs = (plane_spec, min_spec)
+        out_shape = (luma8_shape, min_shape)
+
     grid = (b, h_pad // tile_h)
-    blur_p, luma8, tile_min = pl.pallas_call(
+    outs = pl.pallas_call(
         functools.partial(
             _front_kernel, taps=taps, tile_h=tile_h, w=wid, w_pad=w_pad,
-            h=hgt, channels=channels, u16=u16,
+            h=hgt, channels=channels, u16=u16, emit_blur=emit_blur,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
-            jax.ShapeDtypeStruct((b, h_pad // tile_h, 8, 128), jnp.float32),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 16, w_pad * channels), img.dtype),
             pltpu.VMEM((tile_h + 16, w_pad + 256), jnp.float32),
@@ -334,7 +381,7 @@ def front_kernel(
         ],
         interpret=interpret,
     )(mats, img)
-    return blur_p, luma8, tile_min
+    return outs
 
 
 def _kernel(refs, *, taps, tile_h, w_pad, h, w, emit_resp):

@@ -104,16 +104,26 @@ def saddle_frontend_batch(
     # the Pallas cluster kernel needs the padded height to cover one
     # _WIN-row window; smaller frames take the XLA path below
     if use_pallas and -(-h // 64) * 64 >= 184:
-        from .pallas.cluster import cluster_rochade, saddles_from_candidates
-        from .pallas.frontend import front_kernel
+        from .pallas.cluster import (
+            cluster_rochade_raw,
+            saddles_from_candidates,
+        )
+        from .pallas.frontend import front_kernel, pad_raw
 
         if imgs.ndim == 4 and imgs.shape[3] == 4:
             imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
 
-        # fully fused Pallas path: raw frames -> blur/luma8/tile-min in
-        # ONE kernel (the f32 luma plane never hits HBM) -> clusters +
-        # ROCHADE; luma8 stays padded (decode gates on the true size)
-        blur_p, luma_u8, tile_min = front_kernel(imgs, consts.blur_sigma)
+        # fully fused Pallas path: the padded RAW frames feed BOTH
+        # kernels — the min-pass computes luma8 + the response tile-min
+        # (no blur plane write), and the cluster kernel recomputes
+        # gray+blur in-window. Neither the f32 luma nor the f32 blur
+        # plane ever exists in HBM (~2.5x less DMA than the unfused
+        # pair); luma8 stays padded (decode gates on the true size)
+        raw_p, th_, tw_, channels, u16 = pad_raw(imgs)
+        luma_u8, tile_min = front_kernel(
+            raw_p, consts.blur_sigma, emit_blur=False, pre_padded=True,
+            true_shape=(h, w), channels=channels, u16=u16,
+        )
         # threshold = ratio * global response minimum (the only cross-
         # window dependency; src/detector.rs:414-418) — window skipping
         # itself happens inside the cluster kernel
@@ -121,13 +131,16 @@ def saddle_frontend_batch(
             jnp.min(tile_min, axis=(1, 2, 3))
             * consts.response_threshold_ratio
         )
-        fields, counts = cluster_rochade(
-            blur_p,
+        fields, counts = cluster_rochade_raw(
+            raw_p,
             thr,
             h,
             w,
-            2 * consts.rochade_half_patch,
-            consts.rochade_move_threshold,
+            channels=channels,
+            u16=u16,
+            sigma=consts.blur_sigma,
+            hp2=2 * consts.rochade_half_patch,
+            move_thr=consts.rochade_move_threshold,
         )
         raw = jax.vmap(saddles_from_candidates)(fields)
         saddles = jax.vmap(

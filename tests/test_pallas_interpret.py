@@ -120,6 +120,42 @@ def test_cluster_rochade_matches_oracle_saddles(name, data_dir):
     )
 
 
+@pytest.mark.parametrize("name", ["EuRoC", "TUM_VI", "two_boards"])
+def test_cluster_rochade_raw_matches_blur_fed(name, data_dir):
+    """Folded raw-input cluster kernel (gray + blur recomputed
+    in-window) must reproduce the blur-fed kernel bit-for-bit — u8,
+    16-bit and RGB inputs."""
+    from aprilgrid_tpu.pallas.cluster import (
+        cluster_rochade,
+        cluster_rochade_raw,
+    )
+    from aprilgrid_tpu.pallas.frontend import (
+        front_kernel,
+        pad_raw,
+    )
+
+    img = R.load_image(str(data_dir / f"{name}.png"))
+    h, w = img.shape[:2]
+    raw = jnp.asarray(img)[None]
+    blur_p, _l8, tmin = front_kernel(raw, 1.5, interpret=True)
+    thr = jnp.min(tmin, axis=(1, 2, 3)) * 0.05
+    ref_fields, ref_counts = cluster_rochade(
+        blur_p, thr, h, w, 4, 1.0, interpret=True
+    )
+    raw_p, _h, _w, channels, u16 = pad_raw(raw)
+    l8b, tminb = front_kernel(
+        raw_p, 1.5, interpret=True, emit_blur=False, pre_padded=True,
+        true_shape=(h, w), channels=channels, u16=u16,
+    )
+    np.testing.assert_array_equal(np.asarray(_l8), np.asarray(l8b))
+    np.testing.assert_array_equal(np.asarray(tmin), np.asarray(tminb))
+    fields, counts = cluster_rochade_raw(
+        raw_p, thr, h, w, channels=channels, u16=u16, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(ref_counts), np.asarray(counts))
+    np.testing.assert_array_equal(np.asarray(ref_fields), np.asarray(fields))
+
+
 def test_cluster_blob_size_cap_is_signaled_not_silent():
     """A response blob taller than the member-scan window is dropped by
     design (the reference has no such cap) — but the drop must be

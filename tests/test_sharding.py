@@ -111,6 +111,37 @@ def test_detect_batch_sharded_hybrid(data_dir):
             )
 
 
+def test_pipeline_parallel_matches_hybrid(data_dir):
+    """Two-stage inter-chip pipeline (front-end chip / decode chip) must
+    be result-identical to the single-device hybrid path (SURVEY 2c PP
+    row; round-2 verdict "What's missing" #2)."""
+    from aprilgrid_tpu.detector import TagDetector
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+    from aprilgrid_tpu.parallel.pipeline_parallel import (
+        PipelineParallelDetector,
+    )
+
+    det = TagDetector("t36h11", mode="hybrid")
+    if det.mode != "hybrid":
+        import pytest
+
+        pytest.skip("native toolchain unavailable")
+    img = load_image(str(data_dir / "EuRoC.png"))
+    batches = [np.stack([img] * 2), np.stack([img] * 3)]
+    ref = [det.detect_batch(b) for b in batches]
+
+    pp = PipelineParallelDetector(det, devices=jax.devices()[:2])
+    got = list(pp.detect_batches(batches))
+    assert len(got) == 2
+    for rb, gb in zip(ref, got):
+        for r, g in zip(rb, gb):
+            assert set(r) == set(g) and len(r) == 36
+            for tid in r:
+                np.testing.assert_allclose(
+                    np.asarray(g[tid]), np.asarray(r[tid]), atol=1e-5
+                )
+
+
 def test_dryrun_multichip():
     import __graft_entry__ as g
 
