@@ -148,12 +148,17 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
 def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
-    u16=False,
+    u16=False, gh=None,
 ):
+    # gh: the GLOBAL image height when this kernel processes a
+    # row-sharded window of a taller frame (parallel/sharding.py); the
+    # local window's global row offset arrives per frame via roff_ref.
+    # Border/bounds gates then test global rows while all addressing
+    # stays local. gh=None (single-chip) means local == global.
     if from_raw:
-        (mats_ref, thr_ref, src_hbm, out_ref, cnt_ref, blur_w, lscr,
-         lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
-         sem) = refs
+        (mats_ref, thr_ref, roff_ref, src_hbm, out_ref, cnt_ref, blur_w,
+         lscr, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref,
+         tall_ref, sem) = refs
         rows = _WIN + 16  # raw slab: 8 luma-context rows above + below
         hp = src_hbm.shape[1] - 16
     else:
@@ -161,8 +166,11 @@ def _kernel(
          fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref, sem) = refs
         mats_ref = None
         lscr = None
+        roff_ref = None
         rows = _WIN
         hp = src_hbm.shape[1]
+    if gh is None:
+        gh = h
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -215,11 +223,12 @@ def _kernel(
         cur_ref[0] = jnp.int32(0)
         cur_ref[1] = jnp.int32(0)
 
+    roff = jnp.int32(0) if roff_ref is None else roff_ref[bi, 0]
     _compute(
         thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref,
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-        capf=capf,
+        capf=capf, roff=roff, gh=gh,
     )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
@@ -237,8 +246,12 @@ def _kernel(
 def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
     cur_ref, tall_ref,
-    *, bi, ti, row0, h, w, hp2, move_thr, capf,
+    *, bi, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
 ):
+    if roff is None:
+        roff = jnp.int32(0)
+    if gh is None:
+        gh = h
     thr = thr_ref[bi, 0]
     wp = blur.shape[1]
 
@@ -262,9 +275,10 @@ def _compute(
     lxy = (ur - ul + dl - dr) * 0.25
     resp = lxx * lyy - lxy * lxy
 
+    grow_g = grow + roff  # global row (== grow when single-chip)
     valid_px = (
         (rloc > 0) & (rloc < _WIN - 1)           # window interior rows
-        & (grow > 0) & (grow < h - 1)            # reference zero borders
+        & (grow_g > 0) & (grow_g < gh - 1)       # reference zero borders
         & (cloc > 0) & (cloc < w - 1)
     )
     mask = valid_px & (resp < thr)
@@ -279,15 +293,19 @@ def _compute(
             mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf,
             rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-            capf=capf,
+            capf=capf, roff=roff, gh=gh,
         )
 
 
 def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
     rm2_ref, rm3_ref, cur_ref, tall_ref,
-    *, ti, row0, h, w, hp2, move_thr, capf,
+    *, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
 ):
+    if roff is None:
+        roff = jnp.int32(0)
+    if gh is None:
+        gh = h
     wp = blur.shape[1]
     # --- min-index connected-component labels, fixpoint relaxation.
     # Labels pack (row, col) as (row << 16) | col instead of row*w + col:
@@ -399,7 +417,8 @@ def _compute_clusters(
         & (jnp.abs(c5p) < kkp)
     )
     fbuf[0] = cloc.astype(jnp.float32) + x0
-    fbuf[1] = grow.astype(jnp.float32) + y0
+    # y is emitted in GLOBAL rows (== local when single-chip)
+    fbuf[1] = (grow + roff).astype(jnp.float32) + y0
     fbuf[2] = c3p
     fbuf[3] = c4p
     fbuf[4] = c5p
@@ -434,13 +453,14 @@ def _compute_clusters(
     # restores the reference's ascending-label enumeration with one
     # cheap XLA sort over the compacted rows.
     # loop-invariant member-scan iotas/masks, hoisted out of the hot loop
+    subw = min(_SUBW, wp)  # narrow frames: scan caps at the full width
     subrows = {
-        r: jax.lax.broadcasted_iota(jnp.int32, (r, _SUBW), 0)
+        r: jax.lax.broadcasted_iota(jnp.int32, (r, subw), 0)
         for r in (_SUBF, _SUB)
     }
-    subcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, _SUBW), 1)
+    subcol1 = jax.lax.broadcasted_iota(jnp.int32, (1, subw), 1)
     lane_first = (subcol1 == 0).astype(jnp.int32)
-    lane_last = (subcol1 == _SUBW - 1).astype(jnp.int32)
+    lane_last = (subcol1 == subw - 1).astype(jnp.int32)
 
     def process_roots(lbls, ens, rows, collect_tall):
         # Process a small batch of roots with every STEP emitted for all
@@ -474,12 +494,12 @@ def _compute_clusters(
         croot = [lbls[i] & 0xFFFF for i in rr]
         cstart = [
             pl.multiple_of(
-                jnp.clip(((croot[i] - 64) // 128) * 128, 0, wp - _SUBW), 128
+                jnp.clip(((croot[i] - 64) // 128) * 128, 0, wp - subw), 128
             )
             for i in rr
         ]
         sub = [
-            lab_ref[pl.ds(lroot[i], rows), pl.ds(cstart[i], _SUBW)]
+            lab_ref[pl.ds(lroot[i], rows), pl.ds(cstart[i], subw)]
             for i in rr
         ]
         member = [(sub[i] == lbls[i]).astype(jnp.int32) for i in rr]
@@ -508,7 +528,8 @@ def _compute_clusters(
             # full window: bottom contact is the real blob-size cap
             # (counted drop), unless the window bottom IS the image edge
             drop_bot = [
-                bot[i] & (row0 + lroot[i] + _SUB - 1 < h - 1) for i in rr
+                bot[i] & (row0 + lroot[i] + _SUB - 1 + roff < gh - 1)
+                for i in rr
             ]
         # lateral border contact => drop (counted), as before
         lft = [jnp.sum(colsum[i] * lane_first) > 0 for i in rr]
@@ -516,7 +537,7 @@ def _compute_clusters(
         bad = [
             drop_bot[i]
             | (lft[i] & (cstart[i] > 0))
-            | (rgt[i] & (cstart[i] + _SUBW < w))
+            | (rgt[i] & (cstart[i] + subw < w))
             for i in rr
         ]
         cnt = [cnt_i[i].astype(jnp.float32) for i in rr]
@@ -535,8 +556,8 @@ def _compute_clusters(
         rx = [jnp.floor(cx[i] + 0.5).astype(jnp.int32) for i in rr]
         ry = [jnp.floor(cy[i] + 0.5).astype(jnp.int32) for i in rr]
         in_b = [
-            (ry[i] - hp2 >= 0)
-            & (ry[i] + hp2 < h)
+            (ry[i] + roff - hp2 >= 0)
+            & (ry[i] + roff + hp2 < gh)
             & (rx[i] - hp2 >= 0)
             & (rx[i] + hp2 < w)
             for i in rr
@@ -780,7 +801,7 @@ def cluster_rochade(
     jax.jit,
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
-        "interpret", "capf",
+        "interpret", "capf", "global_h",
     ),
 )
 def cluster_rochade_raw(
@@ -795,6 +816,8 @@ def cluster_rochade_raw(
     move_thr: float = 1.0,
     interpret: bool = False,
     capf: int = _CAPF,
+    row_off: jnp.ndarray | None = None,  # (B,) int32 global row offsets
+    global_h: int | None = None,
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -802,7 +825,12 @@ def cluster_rochade_raw(
     f32 blur plane never exists in HBM. Pair with
     ``front_kernel(..., emit_blur=False)`` which supplies luma8 +
     tile-min from the same padded raw array. Returns exactly what
-    `cluster_rochade` returns."""
+    `cluster_rochade` returns.
+
+    ``row_off``/``global_h``: when the input is a row-sharded WINDOW of
+    a ``global_h``-tall frame (parallel/sharding.py), border and bounds
+    gates test global rows (local + row_off) and the emitted y
+    coordinates are global; addressing stays local."""
     from ..ops.frontend import gaussian_kernel
     from .frontend import _deinterleave_chunk
 
@@ -821,15 +849,19 @@ def cluster_rochade_raw(
     nblk = wp // 128
     mf, _ = _deinterleave_chunk(128)
     mats = jnp.asarray(mf)  # (384, 128); gray-luma weights only
+    if row_off is None:
+        row_off = jnp.zeros((b,), jnp.int32)
 
     fields, counts = pl.pallas_call(
         functools.partial(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
+            gh=global_h,
         ),
         grid=(b, tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -863,7 +895,7 @@ def cluster_rochade_raw(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(mats, thr.reshape(b, 1), raw_p)
+    )(mats, thr.reshape(b, 1), row_off.astype(jnp.int32).reshape(b, 1), raw_p)
     return fields, counts[:, 0, 0:2]
 
 

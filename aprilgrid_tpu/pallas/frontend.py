@@ -161,16 +161,27 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
 
 def _front_kernel(
     mats_ref, raw_hbm, *rest,
-    taps, tile_h, w, w_pad, h, channels, u16, emit_blur=True,
+    taps, tile_h, w, w_pad, h, channels, u16, emit_blur=True, gh=None,
 ):
+    has_roff = gh is not None
     if emit_blur:
-        blur_ref, luma8_ref, min_ref, slab, lscr, sem = rest
+        if has_roff:
+            roff_ref, blur_ref, luma8_ref, min_ref, slab, lscr, sem = rest
+        else:
+            blur_ref, luma8_ref, min_ref, slab, lscr, sem = rest
+            roff_ref = None
     else:
         # folded mode: the cluster kernel recomputes gray+blur in-window
         # straight from the raw frames, so the f32 blur plane never
         # exists in HBM at all (saves a full-plane write + read)
-        luma8_ref, min_ref, slab, lscr, sem = rest
+        if has_roff:
+            roff_ref, luma8_ref, min_ref, slab, lscr, sem = rest
+        else:
+            luma8_ref, min_ref, slab, lscr, sem = rest
+            roff_ref = None
         blur_ref = None
+    if gh is None:
+        gh = h
     """Fused raw->(blur, luma8, tile_min) kernel: gray conversion, 7-tap
     separable blur and the Hessian-response tile minimum in ONE pass over
     the raw frames — the f32 luma plane never exists in HBM (saves a full
@@ -265,9 +276,16 @@ def _front_kernel(
     lxy = (ur - ul + dl - dr) * 0.25
     resp = lxx * lyy - lxy * lxy
 
-    grow = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0)
+    lrow = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 0)
+    grow = lrow if roff_ref is None else lrow + roff_ref[bi, 0]
     gcol = jax.lax.broadcasted_iota(jnp.int32, (tile_h, w_pad), 1)
-    border = (grow == 0) | (grow >= h - 1) | (gcol == 0) | (gcol >= w - 1)
+    # zero the reference's untouched GLOBAL borders; in sharded windows
+    # also zero everything below the local window (rows there may blur
+    # into edge-replicated padding that the full frame would not have)
+    border = (
+        (grow == 0) | (grow >= gh - 1) | (lrow >= h)
+        | (gcol == 0) | (gcol >= w - 1)
+    )
     center = (slice(8, 8 + tile_h), slice(128, 128 + w_pad))
     if blur_ref is not None:
         blur_ref[0, :, :] = blur[center]
@@ -305,7 +323,7 @@ def pad_raw(img: jnp.ndarray):
     jax.jit,
     static_argnames=(
         "sigma", "interpret", "emit_blur", "pre_padded", "true_shape",
-        "channels", "u16",
+        "channels", "u16", "global_h",
     ),
 )
 def front_kernel(
@@ -317,6 +335,8 @@ def front_kernel(
     true_shape: tuple[int, int] | None = None,
     channels: int | None = None,
     u16: bool | None = None,
+    row_off: jnp.ndarray | None = None,  # (B,) int32 global row offsets
+    global_h: int | None = None,
 ):
     """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
     luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
@@ -326,7 +346,9 @@ def front_kernel(
     ``emit_blur=False`` drops the blur plane from the outputs (returns
     (luma8, tile_min)) — used when the cluster kernel reads the raw
     frames itself. ``pre_padded=True`` takes a pad_raw() output plus
-    true_shape/channels/u16 instead of raw frames."""
+    true_shape/channels/u16 instead of raw frames. ``row_off``/
+    ``global_h``: border zeroing for row-sharded windows of a taller
+    frame (see parallel/sharding.py) tests GLOBAL rows."""
     if pre_padded:
         hgt, wid = true_shape
     else:
@@ -361,17 +383,26 @@ def front_kernel(
         out_specs = (plane_spec, min_spec)
         out_shape = (luma8_shape, min_shape)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [mats, img]
+    if global_h is not None:
+        if row_off is None:
+            row_off = jnp.zeros((b,), jnp.int32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(row_off.astype(jnp.int32).reshape(b, 1))
+
     grid = (b, h_pad // tile_h)
     outs = pl.pallas_call(
         functools.partial(
             _front_kernel, taps=taps, tile_h=tile_h, w=wid, w_pad=w_pad,
             h=hgt, channels=channels, u16=u16, emit_blur=emit_blur,
+            gh=global_h,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -380,7 +411,7 @@ def front_kernel(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(mats, img)
+    )(*args)
     return outs
 
 

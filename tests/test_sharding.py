@@ -111,6 +111,59 @@ def test_detect_batch_sharded_hybrid(data_dir):
             )
 
 
+def test_pallas_sharded_saddle_frontend_matches_single_chip(data_dir):
+    """Row-sharded front-end over the PRODUCTION Pallas kernels (raw
+    min-pass + raw cluster/ROCHADE, interpret mode on the CPU mesh) must
+    reproduce the single-chip Pallas path exactly (round-2 verdict,
+    weak #3 / next-round #4)."""
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DetectorParams
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+    from aprilgrid_tpu.ops.rochade import filter_and_compact
+    from aprilgrid_tpu.pallas.cluster import (
+        cluster_rochade_raw,
+        saddles_from_candidates,
+    )
+    from aprilgrid_tpu.pallas.frontend import front_kernel, pad_raw
+    from aprilgrid_tpu.parallel.sharding import (
+        saddle_frontend_rows_sharded_pallas,
+    )
+
+    img = load_image(str(data_dir / "EuRoC.png"))  # 480x752 u8
+    h, w = img.shape
+    params, consts, caps = DetectorParams(), CONSTANTS, DEFAULT_CAPACITIES
+
+    # single-chip Pallas reference (interpret mode)
+    raw_p, _h, _w, channels, u16 = pad_raw(jnp.asarray(img)[None])
+    _l8, tmin = front_kernel(
+        raw_p, consts.blur_sigma, interpret=True, emit_blur=False,
+        pre_padded=True, true_shape=(h, w), channels=channels, u16=u16,
+    )
+    thr = jnp.min(tmin, axis=(1, 2, 3)) * consts.response_threshold_ratio
+    fields, _ = cluster_rochade_raw(
+        raw_p, thr, h, w, channels=channels, u16=u16, interpret=True
+    )
+    raw_s = saddles_from_candidates(fields[0])
+    ref = filter_and_compact(
+        raw_s, caps.max_saddles, consts.saddle_k_ratio,
+        params.min_saddle_angle, params.max_saddle_angle,
+    )
+    ref = jax.tree.map(np.asarray, ref)
+
+    mesh = make_mesh({"sp": 2})
+    fn = saddle_frontend_rows_sharded_pallas(
+        mesh, params, consts, caps, "sp", interpret=True
+    )
+    got = jax.tree.map(np.asarray, fn(jnp.asarray(img)))
+
+    assert ref.valid.sum() == got.valid.sum() > 100
+    np.testing.assert_allclose(
+        got.p[got.valid], ref.p[ref.valid], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        got.theta[got.valid], ref.theta[ref.valid], atol=1e-5
+    )
+
+
 def test_pipeline_parallel_matches_hybrid(data_dir):
     """Two-stage inter-chip pipeline (front-end chip / decode chip) must
     be result-identical to the single-device hybrid path (SURVEY 2c PP

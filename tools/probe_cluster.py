@@ -23,37 +23,58 @@ import jax.numpy as jnp
 
 from aprilgrid_tpu.config import CONSTANTS
 from aprilgrid_tpu.oracle.numpy_ref import load_image
-from aprilgrid_tpu.pallas.cluster import cluster_rochade
-from aprilgrid_tpu.pallas.frontend import front_kernel
+from aprilgrid_tpu.pallas.cluster import cluster_rochade_raw
+from aprilgrid_tpu.pallas.frontend import front_kernel, pad_raw
 
 
 def main():
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "6"))
-    img = load_image("tests/data/two_boards.png")
+    name = os.environ.get("BENCH_IMG", "two_boards")
+    img = load_image(f"tests/data/{name}.png")
     h, w = img.shape[:2]
     imgs = jnp.asarray(
         np.ascontiguousarray(np.broadcast_to(img, (batch,) + img.shape))
     )
 
-    blur_p, luma8, tile_min = front_kernel(imgs, CONSTANTS.blur_sigma)
+    raw_p, _h, _w, channels, u16 = pad_raw(imgs)
+    raw_p = jax.block_until_ready(raw_p)
+
+    minfn = jax.jit(
+        lambda r: front_kernel(
+            r, CONSTANTS.blur_sigma, emit_blur=False, pre_padded=True,
+            true_shape=(h, w), channels=channels, u16=u16,
+        )
+    )
+    luma8, tile_min = minfn(raw_p)
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * CONSTANTS.response_threshold_ratio
-    blur_p = jax.block_until_ready(blur_p)
+    thr = jax.block_until_ready(thr)
     np.asarray(luma8[0, 0, 0])
 
-    fn = jax.jit(lambda b, t: cluster_rochade(b, t, h, w, 4, 1.0))
-
-    fields, counts = fn(blur_p, thr)
+    fn = jax.jit(
+        lambda r, t: cluster_rochade_raw(
+            r, t, h, w, channels=channels, u16=u16
+        )
+    )
+    fields, counts = fn(raw_p, thr)
     np.asarray(fields[0, 0, 0])
     print("appended/frame:", np.asarray(counts[:2, 0]), "dropped:", np.asarray(counts[:2, 1]))
 
     best = float("inf")
     for _ in range(reps):
         t0 = time.time()
-        fields, counts = fn(blur_p, thr)
+        fields, counts = fn(raw_p, thr)
         np.asarray(fields[0, 0, 0])  # tiny sync read
         best = min(best, time.time() - t0)
-    print(f"cluster_rochade b{batch}: {best*1e3:.1f} ms  ({best/batch*1e6:.0f} us/frame)")
+    print(f"cluster_rochade_raw[{name}] b{batch}: {best*1e3:.1f} ms  ({best/batch*1e6:.0f} us/frame)")
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        luma8, tile_min = minfn(raw_p)
+        np.asarray(luma8[0, 0, 0])
+        best = min(best, time.time() - t0)
+    print(f"front_min[{name}] b{batch}: {best*1e3:.1f} ms  ({best/batch*1e6:.0f} us/frame)")
 
 
 if __name__ == "__main__":
