@@ -210,9 +210,10 @@ class TagDetector:
         decode results return as ONE f32 array [id, valid, corners x8];
         corner positions are gathered on device from the already-resident
         packed saddle array instead of being re-uploaded."""
-        from .ops.decode import decode_quads
+        from .ops.decode import decode_quads_batch
 
         spec, consts = self.spec, self.consts
+        up = self.use_pallas
 
         @functools.partial(jax.jit, static_argnames=("hw", "dcap"))
         def fn(packed, luma8, qarr, hw=None, dcap=0):
@@ -220,54 +221,53 @@ class TagDetector:
             quads = qarr[:, : dcap * 4].reshape(b, dcap, 4)
             counts = qarr[:, dcap * 4]
             qv = jnp.arange(dcap)[None, :] < counts[:, None]
-
-            def one(pk, l8, q, v):
-                qp = pk[jnp.maximum(q, 0), 0:2]  # (dcap, 4, 2)
-                d = decode_quads(
-                    l8,
-                    qp,
-                    v,
-                    spec,
-                    consts.decode_margin,
-                    consts.valid_brightness_threshold,
-                    consts.max_invalid_bit,
-                    consts.min_contrast,
-                    true_shape=hw,
-                )
-                return jnp.concatenate(
-                    [
-                        d.ids.astype(jnp.float32)[:, None],
-                        d.valid.astype(jnp.float32)[:, None],
-                        d.corners.reshape(-1, 8),
-                    ],
-                    axis=1,
-                )
-
-            return jax.vmap(one)(packed, luma8, quads, qv)
+            qp = jax.vmap(lambda pk, q: pk[jnp.maximum(q, 0), 0:2])(
+                packed, quads
+            )  # (b, dcap, 4, 2)
+            d = decode_quads_batch(
+                luma8,
+                qp,
+                qv,
+                spec,
+                consts.decode_margin,
+                consts.valid_brightness_threshold,
+                consts.max_invalid_bit,
+                consts.min_contrast,
+                true_shape=hw,
+                use_pallas=up,
+            )
+            return jnp.concatenate(
+                [
+                    d.ids.astype(jnp.float32)[..., None],
+                    d.valid.astype(jnp.float32)[..., None],
+                    d.corners.reshape(b, -1, 8),
+                ],
+                axis=2,
+            )
 
         return fn
 
     @functools.cached_property
     def _decode_batch_fn(self):
-        from .ops.decode import decode_quads
+        from .ops.decode import decode_quads_batch
 
         spec, consts = self.spec, self.consts
+        up = self.use_pallas
 
         @functools.partial(jax.jit, static_argnames=("hw",))
         def fn(luma8, quad_pos, quad_valid, hw=None):
-            return jax.vmap(
-                lambda l8, qp, qv: decode_quads(
-                    l8,
-                    qp,
-                    qv,
-                    spec,
-                    consts.decode_margin,
-                    consts.valid_brightness_threshold,
-                    consts.max_invalid_bit,
-                    consts.min_contrast,
-                    true_shape=hw,
-                )
-            )(luma8, quad_pos, quad_valid)
+            return decode_quads_batch(
+                luma8,
+                quad_pos,
+                quad_valid,
+                spec,
+                consts.decode_margin,
+                consts.valid_brightness_threshold,
+                consts.max_invalid_bit,
+                consts.min_contrast,
+                true_shape=hw,
+                use_pallas=up,
+            )
 
         return fn
 

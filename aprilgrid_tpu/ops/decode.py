@@ -125,7 +125,7 @@ def decode_positions_px(
     return np.stack([px, py], axis=-1)
 
 
-def decode_quads(
+def _decode_pre(
     luma8: jnp.ndarray,
     quad_pos: jnp.ndarray,   # (T, 4, 2) float32 corner positions
     quad_valid: jnp.ndarray,  # (T,) bool
@@ -135,12 +135,10 @@ def decode_quads(
     max_invalid_bit: int,
     min_contrast: int,
     true_shape: tuple[int, int] | None = None,
-) -> DecodedTags:
-    """try_decode_quad for every candidate quad (src/detector.rs:448-476).
-
-    ``true_shape`` gives the real (h, w) when ``luma8`` is padded."""
+):
+    """decode_positions + bit_code + rotation expansion for one frame;
+    returns (rots (T, 4, nb) f32 0/1, gates (T, 3) bool)."""
     h, w = true_shape if true_shape is not None else luma8.shape
-    nb = spec.edge * spec.edge
 
     # --- decode_positions: corner bound gate + affine bit centers
     rc = rust_round(quad_pos)
@@ -171,17 +169,20 @@ def decode_quads(
     invalid = (jnp.abs(mid[:, None] - bright) < valid_brightness_threshold).sum(-1)
     bits_ok = invalid <= max_invalid_bit
 
-    # --- best_tag: 4 rotations x hamming scan over the code table
     lsb = bits_msb[:, ::-1].astype(jnp.float32)  # LSB-first bit vector
     perms = jnp.asarray(_rot_perms(spec.edge))   # (4, nb)
     rots = lsb[:, perms]                         # (T, 4, nb)
-    codes = jnp.asarray(spec.code_bits.astype(np.float32))  # (C, nb)
-    # default (bf16) MXU precision is exact here: operands are 0/1 bits
-    # and dot-product sums are <= 36 < 2^8
-    inner = jnp.einsum("trn,cn->trc", rots, codes)
-    ham = rots.sum(-1)[..., None] + codes.sum(-1)[None, None, :] - 2.0 * inner
-    best_idx = jnp.argmin(ham, axis=-1)  # (T, 4) first min
-    best_score = jnp.take_along_axis(ham, best_idx[..., None], -1)[..., 0]
+    gates = jnp.stack([corners_ok, sample_ok, contrast_ok & bits_ok], -1)
+    return rots, gates
+
+
+def _decode_post(
+    best_score: jnp.ndarray,  # (T, 4) min hamming per rotation
+    best_idx: jnp.ndarray,    # (T, 4) FIRST argmin per rotation
+    gates: jnp.ndarray,       # (T, 3) bool
+    quad_pos: jnp.ndarray,
+    spec: FamilySpec,
+) -> DecodedTags:
     rot_ok = best_score < float(spec.hamming_distance)
     rotation = jnp.argmax(rot_ok, axis=-1)  # first accepted rotation
     tag_ok = rot_ok.any(axis=-1)
@@ -192,9 +193,88 @@ def decode_quads(
     order = (3 - j[None, :] + rotation[:, None]) % 4  # (T, 4)
     corners = jnp.take_along_axis(quad_pos, order[..., None], axis=1)
 
-    valid = corners_ok & sample_ok & contrast_ok & bits_ok & tag_ok
+    valid = gates.all(axis=-1) & tag_ok
     return DecodedTags(
         ids=jnp.where(valid, ids.astype(jnp.int32), -1),
         corners=corners,
         valid=valid,
     )
+
+
+def decode_quads(
+    luma8: jnp.ndarray,
+    quad_pos: jnp.ndarray,   # (T, 4, 2) float32 corner positions
+    quad_valid: jnp.ndarray,  # (T,) bool
+    spec: FamilySpec,
+    margin: float,
+    valid_brightness_threshold: int,
+    max_invalid_bit: int,
+    min_contrast: int,
+    true_shape: tuple[int, int] | None = None,
+) -> DecodedTags:
+    """try_decode_quad for every candidate quad (src/detector.rs:448-476).
+
+    ``true_shape`` gives the real (h, w) when ``luma8`` is padded."""
+    rots, gates = _decode_pre(
+        luma8, quad_pos, quad_valid, spec, margin,
+        valid_brightness_threshold, max_invalid_bit, min_contrast,
+        true_shape,
+    )
+    # --- best_tag: 4 rotations x hamming scan over the code table
+    codes = jnp.asarray(spec.code_bits.astype(np.float32))  # (C, nb)
+    # default (bf16) MXU precision is exact here: operands are 0/1 bits
+    # and dot-product sums are <= 36 < 2^8
+    inner = jnp.einsum("trn,cn->trc", rots, codes)
+    ham = rots.sum(-1)[..., None] + codes.sum(-1)[None, None, :] - 2.0 * inner
+    best_idx = jnp.argmin(ham, axis=-1)  # (T, 4) first min
+    best_score = jnp.take_along_axis(ham, best_idx[..., None], -1)[..., 0]
+    return _decode_post(best_score, best_idx, gates, quad_pos, spec)
+
+
+def decode_quads_batch(
+    luma8: jnp.ndarray,      # (B, H, W) u8
+    quad_pos: jnp.ndarray,   # (B, T, 4, 2)
+    quad_valid: jnp.ndarray,  # (B, T) bool
+    spec: FamilySpec,
+    margin: float,
+    valid_brightness_threshold: int,
+    max_invalid_bit: int,
+    min_contrast: int,
+    true_shape: tuple[int, int] | None = None,
+    use_pallas: bool = False,
+    interpret: bool = False,
+) -> DecodedTags:
+    """Batched decode. With ``use_pallas`` the hamming table scan runs
+    as a Pallas kernel that keeps the (B, T, 4, |family|) distance
+    tensor in VMEM (the XLA einsum materializes it in HBM — 231 MB at
+    default capacities, the bulk of the decode pass cost)."""
+    import jax
+
+    rots, gates = jax.vmap(
+        lambda l, q, v: _decode_pre(
+            l, q, v, spec, margin, valid_brightness_threshold,
+            max_invalid_bit, min_contrast, true_shape,
+        )
+    )(luma8, quad_pos, quad_valid)
+    bsz, t, _, nb = rots.shape
+    codes = jnp.asarray(spec.code_bits.astype(np.float32))
+    if use_pallas:
+        from ..pallas.decode import hamming_scan
+
+        mins, idxs = hamming_scan(
+            rots.reshape(bsz, t * 4, nb), codes, interpret=interpret
+        )
+        best_score = mins.reshape(bsz, t, 4)
+        best_idx = idxs.reshape(bsz, t, 4)
+    else:
+        inner = jnp.einsum("btrn,cn->btrc", rots, codes)
+        ham = (
+            rots.sum(-1)[..., None]
+            + codes.sum(-1)[None, None, None, :]
+            - 2.0 * inner
+        )
+        best_idx = jnp.argmin(ham, axis=-1)
+        best_score = jnp.take_along_axis(ham, best_idx[..., None], -1)[..., 0]
+    return jax.vmap(
+        lambda s, i, g, q: _decode_post(s, i, g, q, spec)
+    )(best_score, best_idx, gates, quad_pos)

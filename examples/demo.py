@@ -46,11 +46,16 @@ def main() -> int:
     from aprilgrid_tpu.oracle.numpy_ref import load_image
     from aprilgrid_tpu.viz import dump_overlay
 
+    from PIL import Image
+
+    from aprilgrid_tpu.viz import write_timeline_html
+
     det = TagDetector(args.family, mode=args.mode)
     spec = get_family(args.family)
     frames = sorted(glob.glob(os.path.join(args.dir, "*.png")))
     os.makedirs(args.out, exist_ok=True)
     manifest = Path(args.out) / "manifest.jsonl"
+    entries = []
     with open(manifest, "w") as mf:
         for i, f in enumerate(frames):
             img = load_image(f)
@@ -58,6 +63,7 @@ def main() -> int:
             t0 = time.time()
             tags = det.detect(img)
             dt = time.time() - t0
+            saddles = det.refined_saddle_points(img)
             # per-tag decode sample points, as the reference demo overlays
             decode_points = {}
             for tid, corners in tags.items():
@@ -67,6 +73,32 @@ def main() -> int:
             ns = _timeline_ns(Path(f), i)
             out = Path(args.out) / (Path(f).stem + "_overlay.png")
             dump_overlay(out, img, tags=tags, decode_points=decode_points)
+            # raw frame copy for the interactive viewer's base layer
+            raw_name = Path(f).stem + "_raw.png"
+            base = img if img.ndim == 3 else (
+                (img // 257).astype("uint8") if img.dtype.name == "uint16"
+                else img
+            )
+            Image.fromarray(base).save(Path(args.out) / raw_name)
+            entries.append(
+                {
+                    "image": raw_name,
+                    "timeline_ns": ns,
+                    "detect_ms": round(dt * 1e3, 2),
+                    "tags": {
+                        int(t): [[float(x), float(y)] for (x, y) in c]
+                        for t, c in tags.items()
+                    },
+                    "decode_points": {
+                        int(t): [[float(x), float(y)] for (x, y) in p]
+                        for t, p in decode_points.items()
+                    },
+                    "saddles": [
+                        [float(s.p[0]), float(s.p[1]), float(s.theta)]
+                        for s in saddles
+                    ],
+                }
+            )
             mf.write(
                 json.dumps(
                     {
@@ -83,7 +115,10 @@ def main() -> int:
                 f"[{ns} ns] {Path(f).name}: {len(tags)} tags in "
                 f"{dt*1000:.1f} ms -> {out}"
             )
+    html = write_timeline_html(args.out, entries)
     print(f"timeline manifest: {manifest}")
+    print(f"interactive timeline: {html} (open in a browser; scrub/play, "
+          "toggle tag/decode/saddle layers)")
     return 0
 
 

@@ -178,6 +178,33 @@ def test_cluster_blob_size_cap_is_signaled_not_silent():
     assert float(counts[0, 0]) == 0
 
 
+def test_hamming_scan_matches_einsum():
+    """Pallas VMEM hamming table scan == the XLA einsum + argmin path
+    (min AND first-argmin semantics), on random bit rows + the real
+    T36H11 table."""
+    from aprilgrid_tpu.families import get_family
+    from aprilgrid_tpu.pallas.decode import hamming_scan
+
+    spec = get_family("t36h11")
+    codes = jnp.asarray(spec.code_bits.astype(np.float32))  # (587, 36)
+    rng = np.random.default_rng(3)
+    b, r, nb = 3, 40, codes.shape[1]
+    rows = rng.integers(0, 2, (b, r, nb)).astype(np.float32)
+    # plant exact codes (ham 0, duplicated mins) to stress tie-breaking
+    rows[0, 0] = np.asarray(codes[17])
+    rows[1, 1] = np.asarray(codes[0])
+    rots = jnp.asarray(rows)
+
+    inner = jnp.einsum("brn,cn->brc", rots, codes)
+    ham = rots.sum(-1)[..., None] + codes.sum(-1)[None, None, :] - 2.0 * inner
+    ref_idx = jnp.argmin(ham, axis=-1)
+    ref_min = jnp.take_along_axis(ham, ref_idx[..., None], -1)[..., 0]
+
+    mins, idxs = hamming_scan(rots, codes, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mins), np.asarray(ref_min))
+    np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idx))
+
+
 def test_mathx_accuracy():
     from aprilgrid_tpu.pallas import mathx
 
