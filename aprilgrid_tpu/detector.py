@@ -407,6 +407,12 @@ class TagDetector:
             )
             quads = np.ascontiguousarray(quads[:, :dcap])
             nb = quads.shape[0]
+            if not counts.any():
+                # nothing found anywhere in the chunk: the decode would
+                # return all-invalid — skip the dispatch + download
+                # round trips entirely (common for pass 2 on no-board
+                # production streams)
+                return quads, None
             # one upload: [quads | count] int32 per frame
             qarr = np.concatenate(
                 [quads.reshape(nb, dcap * 4), counts[:, None]], axis=1
@@ -420,6 +426,8 @@ class TagDetector:
             return quads, dec
 
         def collect(ci, quads, dec):
+            if dec is None:
+                return
             lo, _hi = bounds[ci]
             st = state[ci]
             arr = np.asarray(dec)  # one download: (b, dcap, 10)
