@@ -19,7 +19,7 @@ Public API (mirrors the reference's surface, reference src/lib.rs:1-8):
 from .config import Capacities, DetectorParams, PipelineConstants
 from .families import FamilySpec, TagFamily, get_family
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Capacities",

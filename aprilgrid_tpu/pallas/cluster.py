@@ -113,23 +113,29 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
 
     radius = (len(taps) - 1) // 2
     wp = lscr.shape[1] - 256
-    x = slab[:].astype(jnp.int32).astype(jnp.float32)
     if channels == 3:
+        # convert u8->f32 PER COLUMN CHUNK: a whole-slab f32 copy of the
+        # interleaved RGB rows is ~9 MB at 4K and blew the scoped VMEM
+        # budget (the per-chunk live set is ~300 KB)
         lf_chunks = []
         col = 0
         while col < wp:
             cw = min(128, wp - col)
             mf = mats_ref[0 : 3 * cw, 0:cw]
-            xs = x[:, 3 * col : 3 * (col + cw)]
+            xs = (
+                slab[:, 3 * col : 3 * (col + cw)]
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+            )
             lf_chunks.append(
                 jnp.dot(xs, mf, preferred_element_type=jnp.float32)
             )
             col += cw
         lf = jnp.concatenate(lf_chunks, axis=1)
     elif u16:
-        lf = x / 65535.0
+        lf = slab[:].astype(jnp.int32).astype(jnp.float32) / 65535.0
     else:
-        lf = x / 255.0
+        lf = slab[:].astype(jnp.int32).astype(jnp.float32) / 255.0
     # lane-guarded staging so horizontal rolls never wrap valid data
     # into view; guards replicate the clamped-border columns
     lscr[:, 128 : 128 + wp] = lf
@@ -892,7 +898,10 @@ def cluster_rochade_raw(
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 4K RGB frames (wp = 3840, 3 channels) peak near the cap:
+            # raw slabs 4.6 MB + lscr 3.3 MB + fbuf 17 MB + label/rem
+            # planes 11.3 MB + blur intermediates (v5e VMEM is 128 MB)
+            vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(mats, thr.reshape(b, 1), row_off.astype(jnp.int32).reshape(b, 1), raw_p)
