@@ -405,22 +405,33 @@ class TagDetector:
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
-            quads = np.ascontiguousarray(quads[:, :dcap])
             nb = quads.shape[0]
             if not counts.any():
                 # nothing found anywhere in the chunk: the decode would
                 # return all-invalid — skip the dispatch + download
                 # round trips entirely (common for pass 2 on no-board
                 # production streams)
-                return quads, None
+                return quads[:, :1], None
+            # bucket the static quad capacity to the chunk's ACTUAL max
+            # count (power-of-two ladder so jit specializations are
+            # shared): real passes carry <= ~70 quads while the safety
+            # cap is 192 — the decode pre-stage (affine + image gather)
+            # scales with the padding
+            mx = int(counts.max())
+            dc = dcap
+            for cand in (24, 48, 96):
+                if mx <= cand < dcap:
+                    dc = cand
+                    break
+            quads = np.ascontiguousarray(quads[:, :dc])
             # one upload: [quads | count] int32 per frame
             qarr = np.concatenate(
-                [quads.reshape(nb, dcap * 4), counts[:, None]], axis=1
+                [quads.reshape(nb, dc * 4), counts[:, None]], axis=1
             ).astype(np.int32)
             dec = self._decode_packed_fn(
                 fronts[ci][0], fronts[ci][1],
                 jnp.asarray(qarr) if put is None else put(qarr),
-                hw=hw, dcap=dcap,
+                hw=hw, dcap=dc,
             )
             _copy_to_host_async(dec)
             return quads, dec
