@@ -217,6 +217,25 @@ struct SpatialGrid {
     out.clear();
     const auto& saddles = *pts;
     const int total = (int)items.size();
+    if (k * 4 >= total || total <= 512) {
+      // large-k queries over small point sets (init_quads' 50-NN after
+      // board removal) degenerate to near-full ring scans with a
+      // partial_sort PER RING — one brute-force pass + one sort is
+      // cheaper and yields the identical list: both paths order the
+      // same (dist, idx) pairs lexicographically (gprof: the ring walk
+      // was ~20% of a no-board pass-2 search)
+      for (int i = 0; i < total; ++i) {
+        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+        out.emplace_back(dx * dx + dy * dy, i);
+      }
+      if ((int)out.size() > k) {
+        std::partial_sort(out.begin(), out.begin() + k, out.end());
+        out.resize(k);
+      } else {
+        std::sort(out.begin(), out.end());
+      }
+      return;
+    }
     int cx = std::clamp((int)((qx - x0) * inv_cell), 0, nx - 1);
     int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
     // beyond this ring every cell is out of bounds; without the clamp a
