@@ -645,13 +645,17 @@ def _compute_clusters(
 
     def drain_region(state):
         nproc, rm3v, m = state
-        # region of the current global-min root label
+        # region of the current global-min root label. Regions are
+        # (16, 128): measured P-series probes attribute ~30% of the
+        # kernel to the drain OUTER loop (one iteration per occupied
+        # region), so taller regions halve its trip count for two extra
+        # tiles of inner where/min work — net win on board scenes
         lr_m = jnp.clip((m >> 16) - row0, 0, _WIN - 1)
-        g8 = pl.multiple_of(jnp.clip((lr_m // 8) * 8, 0, _WIN - 8), 8)
+        g16 = pl.multiple_of(jnp.clip((lr_m // 16) * 16, 0, _WIN - 16), 8)
         c128 = pl.multiple_of(
             jnp.clip(((m & 0xFFFF) // 128) * 128, 0, wp - 128), 128
         )
-        reg0 = rem_ref[pl.ds(g8, 8), pl.ds(c128, 128)]
+        reg0 = rem_ref[pl.ds(g16, 16), pl.ds(c128, 128)]
 
         def ibody(istate):
             # two roots per iteration, branchless: their scan/fit chains
@@ -692,9 +696,10 @@ def _compute_clusters(
             rem0[:, 128 * b : 128 * (b + 1)], axis=1, keepdims=True
         )
     rm2v = rm2_ref[:, :]
-    for g in range(_WIN // 8):
+    for g in range((_WIN + 15) // 16):
         rm3_ref[g : g + 1, :] = jnp.min(
-            rm2v[8 * g : 8 * (g + 1), :], axis=0, keepdims=True
+            rm2v[16 * g : min(16 * (g + 1), _WIN), :], axis=0,
+            keepdims=True,
         )
     cur_ref[2] = jnp.int32(0)  # tall list is per window
     rm3v0 = rm3_ref[:, :]
@@ -788,7 +793,7 @@ def cluster_rochade(
             pltpu.VMEM((6, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((_WIN, nblk), jnp.int32),
-            pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
+            pltpu.VMEM(((_WIN + 15) // 16, nblk), jnp.int32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SMEM((_TALLCAP,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -892,7 +897,7 @@ def cluster_rochade_raw(
             pltpu.VMEM((6, _WIN, wp), jnp.float32),
             pltpu.VMEM((_WIN, wp), jnp.int32),
             pltpu.VMEM((_WIN, nblk), jnp.int32),
-            pltpu.VMEM((_WIN // 8, nblk), jnp.int32),
+            pltpu.VMEM(((_WIN + 15) // 16, nblk), jnp.int32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SMEM((_TALLCAP,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
