@@ -65,3 +65,48 @@ def test_api_parity_structs():
     s0 = Saddle(p=(0.0, 0.0), k=1.0, theta=0.0, phi=45.0)
     s1 = Saddle(p=(3.0, 4.0), k=1.0, theta=0.0, phi=45.0)
     assert saddle_distance2(s0, s1) == 25.0
+
+
+def test_no_board_frames_detect_empty():
+    """Blank / pure-noise frames must return {} through the hybrid
+    pipeline (and exercise the pass-skip + zero-quad decode-skip paths:
+    pass 2 never searches, no decode round trips are dispatched)."""
+    import numpy as np
+
+    from aprilgrid_tpu.detector import TagDetector
+
+    det = TagDetector("t36h11")
+    rng = np.random.default_rng(0)
+    frames = np.stack(
+        [
+            np.full((240, 320), 128, np.uint8),
+            rng.integers(0, 255, (240, 320), np.uint8).astype(np.uint8),
+        ]
+    )
+    out = det.detect_batch(frames)
+    assert out == [{}, {}]
+
+
+def test_timeline_html_embeds_valid_data(tmp_path):
+    """The interactive timeline viewer must embed parseable layer data
+    (no browser in CI — validate the payload statically)."""
+    import json
+    import re
+
+    from aprilgrid_tpu.viz import write_timeline_html
+
+    entries = [
+        {
+            "image": "f0.png",
+            "timeline_ns": 0,
+            "detect_ms": 1.5,
+            "tags": {3: [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]},
+            "decode_points": {3: [[0.5, 0.5]]},
+            "saddles": [[0.2, 0.3, 45.0]],
+        }
+    ]
+    path = write_timeline_html(tmp_path, entries)
+    html = path.read_text()
+    data = json.loads(re.search(r"const F=(\[.*?\]);let", html, re.S).group(1))
+    assert len(data) == 1 and data[0]["image"] == "f0.png"
+    assert "3" in data[0]["tags"] and len(data[0]["tags"]["3"]) == 4
