@@ -490,9 +490,17 @@ def _compute_clusters(
         n_r = len(lbls)
         rr = range(n_r)
         subrow = subrows[rows]
+        # clip to _WIN - rows (NOT a fixed _WIN - _SUB): in the clipped
+        # LAST window claimed roots sit at local rows up to _WIN-2, and a
+        # fast-path scan pinned at _WIN-_SUB would start more than
+        # _SUBF rows ABOVE such a root — zero members, no bottom-row
+        # touch, silent drop (bottom ~40 image rows lost; caught by the
+        # cropped-TUM_VI sharded parity test). With the per-rows bound
+        # the root always lands inside the scan; blobs touching its last
+        # 2 rows still defer to the full-_SUB rescan via the tall list.
         lroot = [
             pl.multiple_of(
-                (jnp.clip((lbls[i] >> 16) - row0, 0, _WIN - _SUB) // 8) * 8,
+                (jnp.clip((lbls[i] >> 16) - row0, 0, _WIN - rows) // 8) * 8,
                 8,
             )
             for i in rr
@@ -656,6 +664,14 @@ def _compute_clusters(
             jnp.clip(((m & 0xFFFF) // 128) * 128, 0, wp - 128), 128
         )
         reg0 = rem_ref[pl.ds(g16, 16), pl.ds(c128, 128)]
+        # _WIN is not a 16-multiple, so the LAST pyramid group ([176,
+        # 184)) loads a region clipped to start at 168 — spanning rows of
+        # group 10 too. Draining those here would leave their rm3 entry
+        # live and re-drain them on a later visit (exact duplicate
+        # emission; seen on clipped-last-window deep roots). Mask the
+        # load to the min-root's own 16-row group.
+        rloc16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + g16
+        reg0 = jnp.where((rloc16 // 16) == (lr_m // 16), reg0, big)
 
         def ibody(istate):
             # two roots per iteration, branchless: their scan/fit chains

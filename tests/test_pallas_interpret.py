@@ -205,6 +205,43 @@ def test_hamming_scan_matches_einsum():
     np.testing.assert_array_equal(np.asarray(idxs), np.asarray(ref_idx))
 
 
+def test_decode_quads_batch_pallas_matches_xla(data_dir):
+    """Full decode path (positions + sampling + hamming + corner
+    ordering) with the Pallas hamming kernel == the XLA einsum path, on
+    real quads from EuRoC."""
+    from aprilgrid_tpu.config import CONSTANTS
+    from aprilgrid_tpu.families import get_family
+    from aprilgrid_tpu.ops.decode import decode_quads_batch
+
+    from aprilgrid_tpu import native
+
+    spec = get_family("t36h11")
+    img = R.load_image(str(data_dir / "EuRoC.png"))
+    luma8 = R.to_luma8(img)
+    saddles = R.refined_saddle_points(img)
+    px = np.array([s.p[0] for s in saddles], np.float32)
+    py = np.array([s.p[1] for s in saddles], np.float32)
+    th = np.array([s.theta for s in saddles], np.float32)
+    quads = native.find_board(px, py, th, np.ones(len(saddles), np.uint8))
+    qp = np.stack([px[quads], py[quads]], axis=-1)[None]  # (1, T, 4, 2)
+    qv = np.ones((1, qp.shape[1]), bool)
+    args = (
+        jnp.asarray(luma8)[None], jnp.asarray(qp), jnp.asarray(qv), spec,
+        CONSTANTS.decode_margin, CONSTANTS.valid_brightness_threshold,
+        CONSTANTS.max_invalid_bit, CONSTANTS.min_contrast,
+    )
+    ref = decode_quads_batch(*args, use_pallas=False)
+    got = decode_quads_batch(*args, use_pallas=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref.ids), np.asarray(got.ids))
+    np.testing.assert_array_equal(
+        np.asarray(ref.valid), np.asarray(got.valid)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(ref.corners), np.asarray(got.corners)
+    )
+    assert int(ref.valid.sum()) == 36
+
+
 def test_mathx_accuracy():
     from aprilgrid_tpu.pallas import mathx
 

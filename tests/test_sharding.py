@@ -111,11 +111,12 @@ def test_detect_batch_sharded_hybrid(data_dir):
             )
 
 
-def test_pallas_sharded_saddle_frontend_matches_single_chip(data_dir):
+@pytest.mark.parametrize("src", ["EuRoC", "TUM_VI"])
+def test_pallas_sharded_saddle_frontend_matches_single_chip(src, data_dir):
     """Row-sharded front-end over the PRODUCTION Pallas kernels (raw
     min-pass + raw cluster/ROCHADE, interpret mode on the CPU mesh) must
     reproduce the single-chip Pallas path exactly (round-2 verdict,
-    weak #3 / next-round #4)."""
+    weak #3 / next-round #4) — u8 and 16-bit inputs."""
     from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DetectorParams
     from aprilgrid_tpu.oracle.numpy_ref import load_image
     from aprilgrid_tpu.ops.rochade import filter_and_compact
@@ -128,7 +129,9 @@ def test_pallas_sharded_saddle_frontend_matches_single_chip(data_dir):
         saddle_frontend_rows_sharded_pallas,
     )
 
-    img = load_image(str(data_dir / "EuRoC.png"))  # 480x752 u8
+    img = load_image(str(data_dir / f"{src}.png"))
+    if src == "TUM_VI":
+        img = img[:512]  # u16, 512x1024: keep the interpret run quick
     h, w = img.shape
     params, consts, caps = DetectorParams(), CONSTANTS, DEFAULT_CAPACITIES
 
@@ -155,7 +158,14 @@ def test_pallas_sharded_saddle_frontend_matches_single_chip(data_dir):
     )
     got = jax.tree.map(np.asarray, fn(jnp.asarray(img)))
 
-    assert ref.valid.sum() == got.valid.sum() > 100
+    # the TUM_VI crop has 89 oracle saddles (23 of them in the bottom
+    # 40 rows — the clipped-last-window zone of the kernel, where roots
+    # used to be silently dropped / double-emitted; pin BOTH paths to
+    # the oracle, not just to each other)
+    import aprilgrid_tpu.oracle.numpy_ref as R
+
+    oracle_n = len(R.refined_saddle_points(img))
+    assert ref.valid.sum() == got.valid.sum() == oracle_n > 80
     np.testing.assert_allclose(
         got.p[got.valid], ref.p[ref.valid], atol=1e-6
     )
