@@ -455,23 +455,33 @@ class TagDetector:
             st["alive"][used_i, used_s] = 0
             st["changed"][np.unique(fi)] = True
 
-        # Software pipeline across chunks AND board passes: chunk ci's
-        # pass-p decode runs on device (and its result streams back)
-        # while the host searches other chunks; collecting ci's pass-p
-        # result immediately precedes its pass-(p+1) search, so the host
-        # never idles waiting for a whole pass to drain.
-        pending: list[tuple] | None = None
-        for p in range(self.params.max_num_of_boards):
-            nxt = []
-            for ci in range(n_chunks):
-                if pending is not None:
-                    collect(*pending[ci])
-                nxt.append((ci,) + search_and_dispatch(ci, p))
+        # Software pipeline across chunks AND board passes, walked in
+        # chunk-WAVEFRONT order: wave w runs (chunk w, pass 0), then
+        # (chunk w-1, pass 1), ... A pass-major walk ran every pass-2
+        # search only after ALL front-ends had drained, so on multi-pass
+        # scenes the host's pass-2 time (~2.4 ms/frame on noise-heavy
+        # frames) serialized AFTER the device work instead of
+        # overlapping it (measured 790 ms vs a ~590 ms overlap bound on
+        # iphone @ b128). The wavefront keeps the device fed first (the
+        # front-gated pass-0 step leads each wave) and fills the host's
+        # front-end waits with deeper-pass searches of older chunks; per
+        # chunk the collect -> search -> dispatch chain is unchanged, so
+        # results are identical.
+        n_passes = self.params.max_num_of_boards
+        pending: dict[int, tuple] = {}  # ci -> last dispatched (quads, dec)
+        for wave in range(n_chunks + max(n_passes - 1, 0)):
+            for p in range(n_passes):
+                ci = wave - p
+                if not (0 <= ci < n_chunks):
+                    continue
+                if p > 0:
+                    collect(ci, *pending[ci])
+                pending[ci] = search_and_dispatch(ci, p)
                 if p == 0:
                     ensure_fe(ci + 2)  # keep the device 2 chunks ahead
-            pending = nxt
-        for item in pending or ():  # max_num_of_boards == 0 => no passes
-            collect(*item)
+        for ci in range(n_chunks):  # max_num_of_boards == 0 => no passes
+            if ci in pending:
+                collect(ci, *pending[ci])
         return results
 
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
