@@ -93,10 +93,21 @@ class TagDetector:
         constants: PipelineConstants | None = None,
         use_pallas: bool | None = None,
         mode: str = "hybrid",
+        decimate: bool | str = False,
     ) -> None:
         """``mode``: "hybrid" (device dense stages + native C++ board
         search, fastest) or "xla" (whole detect inside one jit program —
-        required for multi-chip sharding of the full pipeline)."""
+        required for multi-chip sharding of the full pipeline).
+
+        ``decimate``: the APPROXIMATE "turbo" mode — detect at half
+        resolution, then re-refine surviving corners at full resolution
+        straight from the raw frame (see pipeline._decimated_tail). On
+        the >= 1080p golden scenes it finds the exact same tag IDs with
+        corners within ~0.08 px of the exact pipeline, at a large
+        throughput gain (the dense device work scales with pixel count);
+        low-resolution frames LOSE recall. ``False`` (default): exact
+        reference parity. ``True``: always decimate. ``"auto"``:
+        decimate only frames >= 2 MP (where recall is validated)."""
         self.spec: FamilySpec = get_family(family)
         self.params = params or DetectorParams()
         self.caps = capacities or DEFAULT_CAPACITIES
@@ -123,6 +134,18 @@ class TagDetector:
             # Mosaic kernels compile on TPU backends only
             use_pallas = jax.default_backend() not in ("cpu", "gpu")
         self.use_pallas = use_pallas
+        if decimate not in (False, True, "auto"):
+            raise ValueError(f"decimate must be False/True/'auto', got {decimate!r}")
+        self.decimate = decimate
+
+    def _use_decimate(self, h: int, w: int) -> bool:
+        """Resolve the ``decimate`` policy for an (h, w) frame: "auto"
+        engages only at >= 2 MP, where the golden-scene probes show zero
+        recall loss (1024x1024 scenes DO lose tags at half resolution —
+        tests/test_decimate.py pins the policy)."""
+        if self.decimate == "auto":
+            return h * w >= 2_000_000
+        return bool(self.decimate)
 
     # -- jit specializations ------------------------------------------------
 
@@ -131,9 +154,9 @@ class TagDetector:
         spec, params, consts, caps = self.spec, self.params, self.consts, self.caps
         up = self.use_pallas
 
-        @jax.jit
-        def fn(img):
-            return detect_pipeline(img, spec, params, consts, caps, up)
+        @functools.partial(jax.jit, static_argnames=("decimate",))
+        def fn(img, decimate=False):
+            return detect_pipeline(img, spec, params, consts, caps, up, decimate)
 
         return fn
 
@@ -143,9 +166,11 @@ class TagDetector:
 
         up = self.use_pallas
 
-        @jax.jit
-        def fn(imgs):
-            return detect_pipeline_batch(imgs, spec, params, consts, caps, up)
+        @functools.partial(jax.jit, static_argnames=("decimate",))
+        def fn(imgs, decimate=False):
+            return detect_pipeline_batch(
+                imgs, spec, params, consts, caps, up, decimate
+            )
 
         return fn
 
@@ -154,9 +179,9 @@ class TagDetector:
         params, consts, caps = self.params, self.consts, self.caps
         up = self.use_pallas
 
-        @jax.jit
-        def fn(img):
-            return saddle_frontend(img, params, consts, caps, up)
+        @functools.partial(jax.jit, static_argnames=("decimate",))
+        def fn(img, decimate=False):
+            return saddle_frontend(img, params, consts, caps, up, decimate)
 
         return fn
 
@@ -178,10 +203,11 @@ class TagDetector:
         params, consts, caps = self.params, self.consts, self.caps
         up = self.use_pallas
 
-        @jax.jit
-        def fn(imgs):
+        @functools.partial(jax.jit, static_argnames=("decimate",))
+        def fn(imgs, decimate=False):
             saddles, luma8, counters = saddle_frontend_batch(
-                imgs, params, consts, caps, up, with_counters=True
+                imgs, params, consts, caps, up, with_counters=True,
+                decimate=decimate,
             )
             packed = jnp.concatenate(
                 [
@@ -278,7 +304,10 @@ class TagDetector:
         reference's canonical corner ordering (src/detector.rs:505-540)."""
         if self.mode == "hybrid":
             return self._detect_hybrid(jnp.asarray(img)[None])[0]
-        res = self._detect_fn(jnp.asarray(img))
+        res = self._detect_fn(
+            jnp.asarray(img),
+            decimate=self._use_decimate(img.shape[0], img.shape[1]),
+        )
         res = jax.tree.map(np.asarray, res)
         if res.flags is not None:
             _warn_flags(res.flags[None])
@@ -295,7 +324,10 @@ class TagDetector:
         Ignored in xla mode."""
         if self.mode == "hybrid":
             return self._detect_hybrid(jnp.asarray(imgs), chunk=chunk)
-        res = self._detect_batch_fn(jnp.asarray(imgs))
+        res = self._detect_batch_fn(
+            jnp.asarray(imgs),
+            decimate=self._use_decimate(imgs.shape[1], imgs.shape[2]),
+        )
         res = jax.tree.map(np.asarray, res)
         if res.flags is not None:
             _warn_flags(res.flags)
@@ -350,10 +382,12 @@ class TagDetector:
         # asynchronously right at dispatch.
         fronts: list[tuple | None] = [None] * n_chunks
 
+        dec = self._use_decimate(hw[0], hw[1])
+
         def ensure_fe(ci):
             if 0 <= ci < n_chunks and fronts[ci] is None:
                 lo, hi = bounds[ci]
-                fronts[ci] = self._frontend_packed_fn(imgs[lo:hi])
+                fronts[ci] = self._frontend_packed_fn(imgs[lo:hi], decimate=dec)
                 _copy_to_host_async(fronts[ci][0])
 
         ensure_fe(0)
@@ -487,7 +521,10 @@ class TagDetector:
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
         """Front-end only (reference: src/detector.rs:408-446) — refined
         saddles for corner-only consumers (e.g. calibration pipelines)."""
-        saddles, _ = self._frontend_fn(jnp.asarray(img))
+        saddles, _ = self._frontend_fn(
+            jnp.asarray(img),
+            decimate=self._use_decimate(img.shape[0], img.shape[1]),
+        )
         saddles = jax.tree.map(np.asarray, saddles)
         out = []
         for i in np.flatnonzero(saddles.valid):

@@ -96,9 +96,28 @@ def rochade_refine(
     ys = sy[:, None, None] + off[None, :, None]
     xs = sx[:, None, None] + off[None, None, :]
     patch = blur[ys, xs]  # (K, 9, 9)
+    return refine_patches(patch, rx, ry, in_bounds, half_patch, move_threshold)
+
+
+def refine_patches(
+    patch: jnp.ndarray,      # (K, 4*half_patch+1, 4*half_patch+1) blur values
+    rx: jnp.ndarray,         # (K,) int32 rounded centers
+    ry: jnp.ndarray,
+    in_bounds: jnp.ndarray,  # (K,) bool validity incl. bounds gate
+    half_patch: int = 2,
+    move_threshold: float = 1.0,
+) -> Saddles:
+    """Quadric fit + gates on pre-gathered blur support patches — the
+    shared back half of the plane-based refine above and the sparse
+    raw-patch refine (``refine_at_raw``). Bit-identical math
+    (src/detector.rs:194-361)."""
+    pinv_np, cone_np = _constants(half_patch)
+    pinv = jnp.asarray(pinv_np)
+    cone = jnp.asarray(cone_np)
+    size = 2 * half_patch + 1
 
     # cone smoothing: 'valid' correlation -> (K, 5, 5)
-    smooth = jnp.zeros(patch.shape[:1] + (size, size), blur.dtype)
+    smooth = jnp.zeros(patch.shape[:1] + (size, size), patch.dtype)
     for pr in range(size):
         for pc in range(size):
             smooth = smooth + cone[pr, pc] * patch[:, pr : pr + size, pc : pc + size]
@@ -135,6 +154,73 @@ def rochade_refine(
     )
     p = jnp.stack([rx.astype(jnp.float32) + x0, ry.astype(jnp.float32) + y0], -1)
     return Saddles(p=p, k=kk, theta=theta, phi=phi, valid=accept)
+
+
+def refine_at_raw(
+    img: jnp.ndarray,        # (H, W) u8/u16 or (H, W, 3|4) u8 raw frame
+    centers: jnp.ndarray,    # (K, 2) f32 full-res candidate positions
+    centers_valid: jnp.ndarray,
+    sigma: float = 1.5,
+    half_patch: int = 2,
+    move_threshold: float = 1.0,
+) -> Saddles:
+    """ROCHADE refine at sparse positions straight from the RAW frame.
+
+    Used by the decimated ("turbo") detection mode: candidates found at
+    half resolution are re-refined at FULL resolution without ever
+    materializing the full-res blur plane — a 15x15 raw patch is gathered
+    per candidate and the gray conversion (ops/gray.py) plus the 7-tap
+    separable blur (src/image_util.rs:110-206) run in-register on the
+    patches. Bit-identical to refining on ``gaussian_blur(to_luma(img))``:
+    index CLAMPING at the gather reproduces the blur's edge-replicate
+    border in both separable passes, and tap order/accumulation match
+    ``ops.frontend.gaussian_blur`` exactly.
+    """
+    from .frontend import gaussian_kernel
+    from .gray import _LUMA_B, _LUMA_G, _LUMA_R
+
+    taps = gaussian_kernel(sigma)
+    radius = (len(taps) - 1) // 2
+    hp2 = 2 * half_patch
+    size9 = 2 * hp2 + 1            # support patch for the cone smoothing
+    p = size9 + 2 * radius         # raw patch side (15 for hp=2, sigma=1.5)
+    h, w = img.shape[:2]
+
+    rx = rust_round(centers[:, 0]).astype(jnp.int32)
+    ry = rust_round(centers[:, 1]).astype(jnp.int32)
+    in_bounds = (
+        (ry - hp2 >= 0) & (ry + hp2 < h) & (rx - hp2 >= 0) & (rx + hp2 < w)
+    ) & centers_valid
+
+    # gather (K, p, p) raw patches; clamped indices == edge replication
+    off = jnp.arange(p, dtype=jnp.int32) - hp2 - radius
+    ys = jnp.clip(ry[:, None, None] + off[None, :, None], 0, h - 1)
+    xs = jnp.clip(rx[:, None, None] + off[None, None, :], 0, w - 1)
+    raw_patch = img[ys, xs]  # (K, p, p[, C])
+
+    # gray conversion — same expressions as ops/gray.to_luma's luma_f
+    if img.ndim == 3:
+        rgbf = raw_patch[..., :3].astype(jnp.float32) / 255.0
+        luma = (
+            _LUMA_R * rgbf[..., 0]
+            + _LUMA_G * rgbf[..., 1]
+            + _LUMA_B * rgbf[..., 2]
+        )
+    elif img.dtype == jnp.uint16:
+        luma = raw_patch.astype(jnp.float32) / 65535.0
+    else:
+        luma = raw_patch.astype(jnp.float32) / 255.0
+
+    # separable blur on the patches, horizontal first (tap order matches
+    # ops.frontend.gaussian_blur so results are bit-identical)
+    temp = jnp.zeros(luma.shape[:1] + (p, size9), jnp.float32)
+    for i, kw in enumerate(taps):
+        temp = temp + luma[:, :, i : i + size9] * float(kw)
+    blur9 = jnp.zeros(luma.shape[:1] + (size9, size9), jnp.float32)
+    for i, kw in enumerate(taps):
+        blur9 = blur9 + temp[:, i : i + size9, :] * float(kw)
+
+    return refine_patches(blur9, rx, ry, in_bounds, half_patch, move_threshold)
 
 
 def filter_and_compact(

@@ -323,6 +323,53 @@ def refined_saddle_points(img: np.ndarray, params=None):
     ]
 
 
+def decimated_refined_saddle_points(img: np.ndarray, params=None):
+    """Oracle for the APPROXIMATE decimated ("turbo") front-end (no
+    reference equivalent — pipeline._decimated_tail semantics): the full
+    half-resolution front-end (blur -> response -> clusters -> ROCHADE ->
+    k/phi gates on the 2x2-mean plane), survivors scaled back to full
+    resolution (half pixel (x, y) sits at (2x+0.5, 2y+0.5)) and
+    re-refined with a full-resolution ROCHADE fit, then re-gated."""
+    from ..config import DEFAULT_PARAMS
+
+    params = params or DEFAULT_PARAMS
+    luma = to_luma32f(img)
+    h, w = luma.shape
+    hh, ww = h // 2 * 2, w // 2 * 2
+    x = luma[:hh, :ww].reshape(hh // 2, 2, ww // 2, 2)
+    # pairwise association matches pipeline._decimate2 / the Pallas
+    # turbo front-end bit-exactly
+    half = (
+        (x[:, 0, :, 0] + x[:, 0, :, 1]) + (x[:, 1, :, 0] + x[:, 1, :, 1])
+    ) * np.float32(0.25)
+    blur_h = gaussian_blur_f32(half, 1.5)
+    resp_h = hessian_response(blur_h)
+    thr = float(resp_h.min()) * 0.05
+    centers_h = saddle_cluster_centers(resp_h, thr)
+    saddles_h = rochade_refine(blur_h, centers_h, 2)
+    if not saddles_h:
+        return []
+    max_k = max(s.k for s in saddles_h) / 10.0
+    survivors = [
+        s
+        for s in saddles_h
+        if s.k >= max_k and params.min_saddle_angle <= s.phi <= params.max_saddle_angle
+    ]
+    if not survivors:
+        return []
+    blur_f = gaussian_blur_f32(luma, 1.5)
+    pts = [(2.0 * s.p[0] + 0.5, 2.0 * s.p[1] + 0.5) for s in survivors]
+    refined = rochade_refine(blur_f, pts, 2)
+    if not refined:
+        return []
+    max_k = max(s.k for s in refined) / 10.0
+    return [
+        s
+        for s in refined
+        if s.k >= max_k and params.min_saddle_angle <= s.phi <= params.max_saddle_angle
+    ]
+
+
 # ---------------------------------------------------------------------------
 # Quad hypotheses (reference: src/detector.rs:543-586)
 # ---------------------------------------------------------------------------

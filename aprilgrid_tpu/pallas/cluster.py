@@ -102,7 +102,8 @@ def _window_start(ti, hp):
     return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
 
 
-def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
+def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w,
+                   luma_f32=False):
     """Raw slab (_WIN+16 rows of padded u8/u16, channels in lanes) ->
     blurred window (_WIN, wp) f32 — the same gray conversion + 7-tap
     separable blur as pallas/frontend.py (bit-identical tap order), so
@@ -113,7 +114,11 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
 
     radius = (len(taps) - 1) // 2
     wp = lscr.shape[1] - 256
-    if channels == 3:
+    if luma_f32:
+        # turbo mode: the slab already holds f32 luma (the decimated
+        # half plane from front_kernel_decimate) — no conversion
+        lf = slab[:]
+    elif channels == 3:
         # convert u8->f32 PER COLUMN CHUNK: a whole-slab f32 copy of the
         # interleaved RGB rows is ~9 MB at 4K and blew the scoped VMEM
         # budget (the per-chunk live set is ~300 KB)
@@ -154,7 +159,7 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w):
 def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
-    u16=False, gh=None,
+    u16=False, gh=None, luma_f32=False,
 ):
     # gh: the GLOBAL image height when this kernel processes a
     # row-sharded window of a taller frame (parallel/sharding.py); the
@@ -216,7 +221,7 @@ def _kernel(
     if from_raw:
         blur = _blur_from_raw(
             mats_ref, blur_w[slot], lscr, taps=taps, channels=channels,
-            u16=u16, w=w,
+            u16=u16, w=w, luma_f32=luma_f32,
         )
     else:
         blur = blur_w[slot]
@@ -828,7 +833,7 @@ def cluster_rochade(
     jax.jit,
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
-        "interpret", "capf", "global_h",
+        "interpret", "capf", "global_h", "luma_f32",
     ),
 )
 def cluster_rochade_raw(
@@ -845,6 +850,7 @@ def cluster_rochade_raw(
     capf: int = _CAPF,
     row_off: jnp.ndarray | None = None,  # (B,) int32 global row offsets
     global_h: int | None = None,
+    luma_f32: bool = False,  # input is already f32 luma (turbo half plane)
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -883,7 +889,7 @@ def cluster_rochade_raw(
         functools.partial(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
-            gh=global_h,
+            gh=global_h, luma_f32=luma_f32,
         ),
         grid=(b, tiles),
         in_specs=[

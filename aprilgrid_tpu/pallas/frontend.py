@@ -415,6 +415,325 @@ def front_kernel(
     return outs
 
 
+@functools.lru_cache(maxsize=None)
+def _decimate_mats() -> tuple[np.ndarray, np.ndarray]:
+    """Selection matrices for the turbo front-end's 2x2-mean decimation:
+    ``S`` (256, 128) compacts even lanes of a pair-summed row chunk
+    (S[2j, j] = 1), ``R`` (40, 128; used as (40, 80)) compacts even
+    sublanes (R[t, 2t] = 1). Pure 0/1 selections — the matmuls move
+    values unchanged, so the half plane equals pipeline._decimate2's
+    pairwise sums bit-exactly."""
+    s = np.zeros((256, 128), np.float32)
+    for j in range(128):
+        s[2 * j, j] = 1.0
+    r = np.zeros((40, 128), np.float32)
+    for t in range(40):
+        r[t, 2 * t] = 1.0
+    return s, r
+
+
+def _front_kernel_decimate(
+    mats_ref, sel_ref, rsel_ref, raw_hbm, luma8_ref, half_hbm, min_ref,
+    slab, hstage, lscr, sem, osem, *,
+    taps, tile_h, w, w_pad, h, whp, channels, u16, pad_b,
+):
+    """Turbo ("decimate") front-end tile: full-res luma8 out, plus a
+    HALF-resolution f32 luma plane (2x2 pairwise mean) written in
+    pad_raw layout (8 context rows above, edge-replicated padding) with
+    the Hessian-response tile minimum evaluated at half resolution —
+    the cluster kernel then runs UNCHANGED on the half plane (f32 luma
+    input mode, cluster.cluster_rochade_raw(luma_f32=True)).
+
+    Per grid step (bi, i): the 80-row raw slab covers full-res luma rows
+    [i*64-8, i*64+72), which decimate to the 40 half rows
+    [i*32-4, i*32+36) — 4 halo rows on each side of the tile's 32-row
+    half band, exactly the blur(3)+hessian(1) support. The half band is
+    DMA'd to output rows [8+i*32, 8+i*32+40/32) (8-aligned); tile 0 also
+    fills the 8 context rows (replicated half row 0) and the last tile
+    the bottom padding (replicated last true half row), so the output is
+    bit-compatible with pad_raw(_decimate2(luma)).
+    """
+    bi = pl.program_id(0)
+    i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
+    rows = tile_h + 16
+    radius = (len(taps) - 1) // 2
+    h_half = h // 2
+    w_half = w // 2
+
+    slot = (bi * nt + i) % 2
+
+    @pl.when(jnp.logical_and(bi == 0, i == 0))
+    def _():
+        pltpu.make_async_copy(
+            raw_hbm.at[0, pl.ds(0, rows), :], slab.at[0], sem.at[0]
+        ).start()
+
+    last_t = i == nt - 1
+    nbi = jnp.where(last_t, bi + 1, bi)
+    nti = jnp.where(last_t, 0, i + 1)
+
+    @pl.when(nbi < nb)
+    def _():
+        pltpu.make_async_copy(
+            raw_hbm.at[nbi, pl.ds(nti * tile_h, rows), :],
+            slab.at[1 - slot],
+            sem.at[1 - slot],
+        ).start()
+
+    pltpu.make_async_copy(
+        raw_hbm.at[bi, pl.ds(i * tile_h, rows), :], slab.at[slot], sem.at[slot]
+    ).wait()
+
+    # --- gray conversion (identical to _front_kernel)
+    x = slab[slot].astype(jnp.int32).astype(jnp.float32)
+    if channels == 3:
+        lf_chunks = []
+        l8_chunks = []
+        col = 0
+        while col < w_pad:
+            cw = min(128, w_pad - col)
+            mf = mats_ref[0 : 3 * cw, 0:cw]
+            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+            xs = x[:, 3 * col : 3 * (col + cw)]
+            lf_chunks.append(jnp.dot(xs, mf, preferred_element_type=jnp.float32))
+            l8_chunks.append(jnp.dot(xs, mi, preferred_element_type=jnp.float32))
+            col += cw
+        lf = jnp.concatenate(lf_chunks, axis=1)
+        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+    elif u16:
+        lf = x / 65535.0
+        l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
+    else:
+        lf = x / 255.0
+        l8 = x
+    luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
+        jnp.uint8
+    )
+
+    # --- 2x2 pairwise-mean decimation: lane pair sums (roll), compact
+    # even lanes (selection matmul), sublane pair sums (roll), compact
+    # even sublanes (selection matmul), scale by the exact 0.25
+    csum = lf + _roll(lf, -1, 1)  # pair sum at even lanes
+    # compute min(whp, w_pad//2) compacted columns from the input (all
+    # true half cols w//2 <= both), then extend to whp by replication —
+    # the right-edge fix-up below overwrites everything >= w//2 anyway
+    hw_c = min(whp, w_pad // 2)
+    hc_chunks = []
+    col = 0
+    while col < hw_c:
+        cw = min(128, hw_c - col)
+        hc_chunks.append(
+            jnp.dot(
+                csum[:, 2 * col : 2 * (col + cw)],
+                sel_ref[0 : 2 * cw, 0:cw],
+                preferred_element_type=jnp.float32,
+            )
+        )
+        col += cw
+    half_c = jnp.concatenate(hc_chunks, axis=1)  # (80, hw_c)
+    if whp > hw_c:
+        half_c = jnp.concatenate(
+            [half_c, jnp.repeat(half_c[:, -1:], whp - hw_c, 1)], axis=1
+        )
+    rsum = half_c + _roll(half_c, -1, 0)  # pair sum at even sublanes
+    half40 = (
+        jnp.dot(rsel_ref[:, 0:80], rsum, preferred_element_type=jnp.float32)
+        * 0.25
+    )  # (40, whp): half rows [i*32-4, i*32+36)
+
+    # --- edge fix-ups so padding replicates the HALF plane's own edges
+    # (decimated full-res padding would replicate the last full row/col
+    # instead of the last half row/col — off by one half pixel)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (40, whp), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (40, whp), 1)
+    # right: cols >= w_half replicate col w_half-1
+    rep_c = jnp.repeat(half40[:, w_half - 1 : w_half], whp, axis=1)
+    half40 = jnp.where(ciota >= w_half, rep_c, half40)
+    # top (tile 0 only): halo rows with global half row < 0 replicate
+    # half row 0 (slab row 4)
+    rep_t = jnp.repeat(half40[4:5, :], 40, axis=0)
+    half40 = jnp.where(jnp.logical_and(i == 0, riota < 4), rep_t, half40)
+    # bottom: rows with global half row > h_half-1 replicate row h_half-1
+    # (dynamic row extraction via masked max — Mosaic has no dynamic
+    # value slicing)
+    rb = h_half + 3 - i * 32  # slab row of global half row h_half-1
+    rep_b0 = jnp.max(
+        jnp.where(riota == jnp.clip(rb, 0, 39), half40, -jnp.inf),
+        axis=0,
+        keepdims=True,
+    )
+    rep_b = jnp.repeat(rep_b0, 40, axis=0)
+    half40 = jnp.where(riota > rb, rep_b, half40)
+
+    # --- half-res blur + Hessian for the response tile minimum
+    # (bit-identical structure to _front_kernel's full-res pass)
+    lscr[:, 128 : 128 + whp] = half40
+    lscr[:, 0:128] = jnp.repeat(half40[:, 0:1], 128, axis=1)
+    lscr[:, 128 + whp : 256 + whp] = jnp.repeat(
+        half40[:, w_half - 1 : w_half], 128, axis=1
+    )
+    y = lscr[:, :]
+    temp = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        temp = temp + _roll(y, radius - k, 1) * kw
+    blur = jnp.zeros_like(y)
+    for k, kw in enumerate(taps):
+        blur = blur + _roll(temp, radius - k, 0) * kw
+    left = _roll(blur, 1, 1)
+    right = _roll(blur, -1, 1)
+    up = _roll(blur, 1, 0)
+    down = _roll(blur, -1, 0)
+    ul = _roll(up, 1, 1)
+    ur = _roll(up, -1, 1)
+    dl = _roll(down, 1, 1)
+    dr = _roll(down, -1, 1)
+    lxx = left - 2.0 * blur + right
+    lyy = up - 2.0 * blur + down
+    lxy = (ur - ul + dl - dr) * 0.25
+    resp = (lxx * lyy - lxy * lxy)[4:36, 128 : 128 + whp]
+    ghr = i * 32 + jax.lax.broadcasted_iota(jnp.int32, (32, whp), 0)
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (32, whp), 1)
+    border = (
+        (ghr == 0) | (ghr >= h_half - 1) | (gcol == 0) | (gcol >= w_half - 1)
+    )
+    min_ref[0, 0] = jnp.full(
+        (8, 128), jnp.min(jnp.where(border, 0.0, resp)), jnp.float32
+    )
+
+    # --- stage + DMA the half band into the pad_raw-layout output.
+    # hstage rows 4..44 hold half40; the center band [8, 40) is 8-aligned
+    hstage[4:44, :] = half40
+
+    @pl.when(i == 0)
+    def _():
+        hstage[0:4, :] = rep_t[0:4, :]
+        cp = pltpu.make_async_copy(
+            hstage.at[pl.ds(0, 40)], half_hbm.at[bi, pl.ds(0, 40), :], osem
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(i > 0)
+    def _():
+        dst = pl.multiple_of(8 + i * 32, 8)
+        cp = pltpu.make_async_copy(
+            hstage.at[pl.ds(8, 32)],
+            half_hbm.at[bi, pl.ds(dst, 32), :],
+            osem,
+        )
+        cp.start()
+        cp.wait()
+
+    if pad_b:
+
+        @pl.when(last_t)
+        def _():
+            hstage[40 : 40 + pad_b, :] = rep_b[0:pad_b, :]
+            cp = pltpu.make_async_copy(
+                hstage.at[pl.ds(40, pad_b)],
+                half_hbm.at[bi, pl.ds(8 + nt * 32, pad_b), :],
+                osem,
+            )
+            cp.start()
+            cp.wait()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sigma", "interpret", "pre_padded", "true_shape", "channels", "u16",
+    ),
+)
+def front_kernel_decimate(
+    img: jnp.ndarray,
+    sigma: float = 1.5,
+    interpret: bool = False,
+    pre_padded: bool = False,
+    true_shape: tuple[int, int] | None = None,
+    channels: int | None = None,
+    u16: bool | None = None,
+):
+    """Turbo front-end: (B, H, W[, 3]) u8/u16 raw frames -> (luma_u8
+    (B, Hp, Wp) u8, half_p (B, H//2 padded + 16, W//2 padded) f32,
+    tile_min (B, Hp/64, 8, 128) f32).
+
+    ``half_p`` is the 2x2 pairwise-mean decimated luma plane in pad_raw
+    layout (8 context rows above, edge-replicated padding) — feed it
+    straight to ``cluster.cluster_rochade_raw(..., luma_f32=True)``;
+    ``tile_min`` holds the HALF-resolution Hessian response minima (the
+    turbo clustering threshold). Bit-identical to
+    ``pad_raw(_decimate2(to_luma(img)))`` + the XLA response min."""
+    if pre_padded:
+        hgt, wid = true_shape
+    else:
+        img, hgt, wid, channels, u16 = pad_raw(img)
+    b = img.shape[0]
+    taps = tuple(float(v) for v in gaussian_kernel(sigma))
+    assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
+    tile_h = 64
+    h_pad = img.shape[1] - 16
+    w_pad = img.shape[2] // channels
+    nt = h_pad // tile_h
+    h_half = hgt // 2
+    whp = -(-(wid // 2) // 128) * 128
+    # padded half height: at least the usual 64-row alignment, but also
+    # tall enough that every tile's 32-half-row DMA band fits (for
+    # h ≡ 1 mod 128 the grid covers up to 24 rows past the 64-aligned
+    # pad; the extra rows hold edge replicas and are masked downstream)
+    h_half_pad = max(-(-h_half // 64) * 64, nt * 32 - 8)
+    pad_b = h_half_pad + 8 - nt * 32
+    assert 0 <= pad_b <= 40 and h_half_pad % 8 == 0, (
+        hgt, h_pad, h_half_pad, pad_b
+    )
+
+    mf, mi = _deinterleave_chunk(128)
+    mats = jnp.asarray(np.concatenate([mf, mi], axis=1))
+    sel_np, rsel_np = _decimate_mats()
+
+    grid = (b, nt)
+    luma8, half_p, tile_min = pl.pallas_call(
+        functools.partial(
+            _front_kernel_decimate, taps=taps, tile_h=tile_h, w=wid,
+            w_pad=w_pad, h=hgt, whp=whp, channels=channels, u16=u16,
+            pad_b=pad_b,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, 1, 8, 128), lambda bi, i: (bi, i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, h_pad, w_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((b, h_half_pad + 16, whp), jnp.float32),
+            jax.ShapeDtypeStruct((b, nt, 8, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, tile_h + 16, w_pad * channels), img.dtype),
+            pltpu.VMEM((88, whp), jnp.float32),
+            pltpu.VMEM((40, whp + 256), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(mats, jnp.asarray(sel_np), jnp.asarray(rsel_np), img)
+    return luma8, half_p, tile_min
+
+
 def _kernel(refs, *, taps, tile_h, w_pad, h, w, emit_resp):
     if emit_resp:
         luma_hbm, blur_ref, resp_ref, min_ref, slab, sem = refs

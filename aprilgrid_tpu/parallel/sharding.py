@@ -74,7 +74,10 @@ def detect_batch_sharded(
         # whole batch goes through as one DP-sharded wave per pass
         return detector._detect_hybrid(sharded, chunk=int(imgs.shape[0]),
                                        put=put)
-    res = detector._detect_batch_fn(sharded)
+    res = detector._detect_batch_fn(
+        sharded,
+        decimate=detector._use_decimate(imgs.shape[1], imgs.shape[2]),
+    )
     res = jax.tree.map(np.asarray, res)
     from ..pipeline import DetectResult
     from ..detector import _unpack_result, _warn_flags

@@ -20,7 +20,12 @@ from .ops.cluster import cluster_centroids
 from .ops.decode import decode_quads
 from .ops.frontend import gaussian_blur, hessian_response
 from .ops.gray import to_luma
-from .ops.rochade import Saddles, filter_and_compact, rochade_refine
+from .ops.rochade import (
+    Saddles,
+    filter_and_compact,
+    refine_at_raw,
+    rochade_refine,
+)
 from .ops.search import find_best_board
 
 
@@ -55,15 +60,70 @@ def _frontend_tail(
     )
 
 
+def _decimate2(luma_f: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x2-mean downsample of an (H, W) f32 luma plane (odd
+    trailing row/col trimmed). The decimated ("turbo") detection mode's
+    half-resolution image — see ``_decimated_tail``."""
+    h, w = luma_f.shape
+    hh, ww = h // 2 * 2, w // 2 * 2
+    x = luma_f[:hh, :ww].reshape(hh // 2, 2, ww // 2, 2)
+    # pairwise association (cols first, then rows) on purpose: the Pallas
+    # turbo front-end decimates with lane/sublane pair sums in exactly
+    # this order, so both paths produce bit-identical half planes
+    return (
+        (x[:, 0, :, 0] + x[:, 0, :, 1]) + (x[:, 1, :, 0] + x[:, 1, :, 1])
+    ) * 0.25
+
+
+def _decimated_tail(
+    img: jnp.ndarray,
+    blur_h: jnp.ndarray,
+    resp_h: jnp.ndarray,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+) -> Saddles:
+    """Decimated ("turbo") back half, per frame: the full reference
+    front-end runs at HALF resolution (cluster -> ROCHADE -> gates on
+    ``blur_h``/``resp_h``), survivors are scaled back (half pixel (x, y)
+    sits at full-res (2x+0.5, 2y+0.5) under the 2x2-mean decimation) and
+    re-refined at FULL resolution straight from the raw frame
+    (``refine_at_raw``), then re-gated. An approximate mode: tag recall
+    at >= 1080p matches the exact pipeline on the golden scenes with
+    corners within ~0.08 px (see tests/test_decimate.py), but it is NOT
+    bit-parity — small/low-res frames lose recall, so the facade only
+    enables it on >= 2 MP frames (and off by default)."""
+    half_saddles = _frontend_tail(blur_h, resp_h, params, consts, caps)
+    centers_full = half_saddles.p * 2.0 + 0.5
+    refined = refine_at_raw(
+        img,
+        centers_full,
+        half_saddles.valid,
+        consts.blur_sigma,
+        consts.rochade_half_patch,
+        consts.rochade_move_threshold,
+    )
+    return filter_and_compact(
+        refined,
+        caps.max_saddles,
+        consts.saddle_k_ratio,
+        params.min_saddle_angle,
+        params.max_saddle_angle,
+    )
+
+
 def saddle_frontend(
     img: jnp.ndarray,
     params: DetectorParams,
     consts: PipelineConstants,
     caps: Capacities,
     use_pallas: bool = False,
+    decimate: bool = False,
 ) -> tuple[Saddles, jnp.ndarray]:
     """Refined saddle points + u8 luma plane (for the bit sampler)."""
     luma_f, luma_u8 = to_luma(img)
+    if decimate:
+        luma_f = _decimate2(luma_f)
     if use_pallas:
         from .pallas.frontend import fused_frontend
 
@@ -71,7 +131,10 @@ def saddle_frontend(
     else:
         blur = gaussian_blur(luma_f, consts.blur_sigma)
         resp = hessian_response(blur)
-    saddles = _frontend_tail(blur, resp, params, consts, caps)
+    if decimate:
+        saddles = _decimated_tail(img, blur, resp, params, consts, caps)
+    else:
+        saddles = _frontend_tail(blur, resp, params, consts, caps)
     return saddles, luma_u8
 
 
@@ -82,6 +145,7 @@ def saddle_frontend_batch(
     caps: Capacities,
     use_pallas: bool = False,
     with_counters: bool = False,
+    decimate: bool = False,
 ):
     """Batched front-end. The Pallas kernels handle the batch dimension
     in their grids (pallas_call cannot be vmapped); everything else vmaps.
@@ -101,9 +165,13 @@ def saddle_frontend_batch(
     import jax
 
     h, w = imgs.shape[1], imgs.shape[2]
+    if decimate and use_pallas and -(-(h // 2) // 64) * 64 >= 184:
+        return _pallas_decimated_frontend_batch(
+            imgs, params, consts, caps, with_counters
+        )
     # the Pallas cluster kernel needs the padded height to cover one
     # _WIN-row window; smaller frames take the XLA path below
-    if use_pallas and -(-h // 64) * 64 >= 184:
+    if use_pallas and not decimate and -(-h // 64) * 64 >= 184:
         from .pallas.cluster import (
             cluster_rochade_raw,
             saddles_from_candidates,
@@ -168,6 +236,8 @@ def saddle_frontend_batch(
             return saddles, luma_u8, counters
         return saddles, luma_u8
     luma_f, luma_u8 = jax.vmap(to_luma)(imgs)
+    if decimate:
+        luma_f = jax.vmap(_decimate2)(luma_f)
     if use_pallas:
         from .pallas.frontend import fused_frontend
 
@@ -175,15 +245,112 @@ def saddle_frontend_batch(
     else:
         blur = jax.vmap(lambda x: gaussian_blur(x, consts.blur_sigma))(luma_f)
         resp = jax.vmap(hessian_response)(blur)
-    saddles = jax.vmap(
-        lambda b, r: _frontend_tail(b, r, params, consts, caps)
-    )(blur, resp)
+    if decimate:
+        saddles = jax.vmap(
+            lambda im, b, r: _decimated_tail(im, b, r, params, consts, caps)
+        )(imgs, blur, resp)
+    else:
+        saddles = jax.vmap(
+            lambda b, r: _frontend_tail(b, r, params, consts, caps)
+        )(blur, resp)
     if with_counters:
         zeros = jnp.zeros(imgs.shape[0], jnp.float32)
         counters = jnp.stack(
             [
                 zeros,
                 zeros,
+                jax.vmap(lambda s: jnp.all(s.valid))(saddles).astype(
+                    jnp.float32
+                ),
+            ],
+            axis=1,
+        )
+        return saddles, luma_u8, counters
+    return saddles, luma_u8
+
+
+def _pallas_decimated_frontend_batch(
+    imgs: jnp.ndarray,
+    params: DetectorParams,
+    consts: PipelineConstants,
+    caps: Capacities,
+    with_counters: bool,
+    interpret: bool = False,
+):
+    """Decimated ("turbo") front-end on the Pallas kernels: the front
+    kernel emits full-res luma8 plus a HALF-resolution f32 luma plane
+    (2x2 mean, computed in-window) already laid out in pad_raw format
+    with the response tile-min evaluated at half resolution; the
+    production cluster+ROCHADE kernel then runs unchanged on the half
+    plane (f32 luma input mode), and survivors are re-refined at full
+    resolution from the raw frames (``refine_at_raw``). Semantics =
+    ``_decimated_tail`` (see tests/test_decimate.py)."""
+    import jax
+
+    from .pallas.cluster import (
+        cluster_rochade_raw,
+        saddles_from_candidates,
+    )
+    from .pallas.frontend import front_kernel_decimate, pad_raw
+
+    h, w = imgs.shape[1], imgs.shape[2]
+    if imgs.ndim == 4 and imgs.shape[3] == 4:
+        imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
+    raw_p, th_, tw_, channels, u16 = pad_raw(imgs)
+    luma_u8, half_p, tile_min = front_kernel_decimate(
+        raw_p, consts.blur_sigma, pre_padded=True, true_shape=(h, w),
+        channels=channels, u16=u16, interpret=interpret,
+    )
+    thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
+    fields, counts = cluster_rochade_raw(
+        half_p,
+        thr,
+        h // 2,
+        w // 2,
+        channels=1,
+        u16=False,
+        luma_f32=True,
+        sigma=consts.blur_sigma,
+        hp2=2 * consts.rochade_half_patch,
+        move_thr=consts.rochade_move_threshold,
+        interpret=interpret,
+    )
+    raw = jax.vmap(saddles_from_candidates)(fields)
+    half_saddles = jax.vmap(
+        lambda s: filter_and_compact(
+            s,
+            caps.max_saddles,
+            consts.saddle_k_ratio,
+            params.min_saddle_angle,
+            params.max_saddle_angle,
+        )
+    )(raw)
+    refined = jax.vmap(
+        lambda im, s: refine_at_raw(
+            im,
+            s.p * 2.0 + 0.5,
+            s.valid,
+            consts.blur_sigma,
+            consts.rochade_half_patch,
+            consts.rochade_move_threshold,
+        )
+    )(imgs, half_saddles)
+    saddles = jax.vmap(
+        lambda s: filter_and_compact(
+            s,
+            caps.max_saddles,
+            consts.saddle_k_ratio,
+            params.min_saddle_angle,
+            params.max_saddle_angle,
+        )
+    )(refined)
+    if with_counters:
+        from .pallas.cluster import _CAPF
+
+        counters = jnp.stack(
+            [
+                (counts[:, 0] >= _CAPF).astype(jnp.float32),
+                counts[:, 1],
                 jax.vmap(lambda s: jnp.all(s.valid))(saddles).astype(
                     jnp.float32
                 ),
@@ -287,9 +454,12 @@ def detect_pipeline(
     consts: PipelineConstants,
     caps: Capacities,
     use_pallas: bool = False,
+    decimate: bool = False,
 ) -> DetectResult:
     """Full detect() (reference src/detector.rs:505-540) for one image."""
-    saddles, luma8 = saddle_frontend(img, params, consts, caps, use_pallas)
+    saddles, luma8 = saddle_frontend(
+        img, params, consts, caps, use_pallas, decimate
+    )
     return detect_tail(
         saddles, luma8, spec, params, consts, caps,
         slots_full=jnp.all(saddles.valid),
@@ -303,12 +473,15 @@ def detect_pipeline_batch(
     consts: PipelineConstants,
     caps: Capacities,
     use_pallas: bool = False,
+    decimate: bool = False,
 ) -> DetectResult:
     """Batched full detect() (BASELINE.json config 2: vmap over frames)."""
     import jax
 
     hw = (imgs.shape[1], imgs.shape[2])
-    saddles, luma8 = saddle_frontend_batch(imgs, params, consts, caps, use_pallas)
+    saddles, luma8 = saddle_frontend_batch(
+        imgs, params, consts, caps, use_pallas, decimate=decimate
+    )
     return jax.vmap(
         lambda s, l8: detect_tail(
             s, l8, spec, params, consts, caps, hw,

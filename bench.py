@@ -64,8 +64,16 @@ def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
     reps = int(os.environ.get("BENCH_REPS", "5"))
     scope = os.environ.get("BENCH_SCOPE", "geomean")
+    # BENCH_DECIMATE=1: the approximate "turbo" mode (half-res detect +
+    # full-res corner re-refine) with the "auto" policy — >= 2 MP frames
+    # decimate, smaller frames stay exact, so every golden count still
+    # holds (tests/test_decimate.py pins the policy)
+    decimate = os.environ.get("BENCH_DECIMATE", "0") not in ("0", "")
 
-    det = TagDetector("t36h11", mode=mode)
+    det = TagDetector(
+        "t36h11", mode=mode, decimate="auto" if decimate else False
+    )
+    mode = f"{mode}+turbo" if decimate else mode
     images = IMAGES if scope == "geomean" else [("two_boards", 72)]
 
     def bench_one(name, expect):

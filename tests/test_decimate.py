@@ -1,0 +1,139 @@
+"""Decimated ("turbo") detection mode (no reference equivalent).
+
+The turbo mode detects at half resolution and re-refines surviving
+corners at full resolution straight from the raw frame
+(pipeline._decimated_tail). It is APPROXIMATE by design: the contract
+pinned here is
+
+* >= 2 MP golden scenes (iphone, two_boards): exact same tag-ID set as
+  the exact pipeline, corners within 0.15 px;
+* the JAX decimated front-end bit-matches the NumPy oracle's
+  ``decimated_refined_saddle_points``;
+* the facade's ``decimate="auto"`` policy engages only at >= 2 MP
+  (1024x1024 scenes DO lose tags at half resolution — that is why).
+"""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from aprilgrid_tpu.detector import TagDetector
+from aprilgrid_tpu.oracle import numpy_ref as oracle
+
+
+@pytest.fixture(scope="module")
+def detectors():
+    return (
+        TagDetector("t36h11", mode="hybrid"),
+        TagDetector("t36h11", mode="hybrid", decimate=True),
+    )
+
+
+@pytest.mark.parametrize("name", ["iphone", "two_boards"])
+def test_turbo_matches_exact_at_2mp(detectors, data_dir, name):
+    d_exact, d_turbo = detectors
+    img = np.asarray(Image.open(data_dir / f"{name}.png"))
+    r_exact = d_exact.detect(img)
+    r_turbo = d_turbo.detect(img)
+    assert set(r_turbo) == set(r_exact)
+    for tid, corners in r_exact.items():
+        err = np.abs(np.asarray(corners) - np.asarray(r_turbo[tid])).max()
+        assert err < 0.15, (tid, err)
+
+
+def test_decimated_frontend_matches_oracle(data_dir):
+    img = np.asarray(Image.open(data_dir / "TUM_VI.png"))
+    d = TagDetector("t36h11", decimate=True)
+    got = d.refined_saddle_points(img)
+    want = oracle.decimated_refined_saddle_points(img)
+    assert len(got) == len(want)
+    gp = np.array(sorted((s.p[0], s.p[1]) for s in got))
+    wp = np.array(sorted((s.p[0], s.p[1]) for s in want))
+    np.testing.assert_allclose(gp, wp, atol=1e-3)
+
+
+def test_auto_policy_resolution_gate():
+    d = TagDetector("t36h11", decimate="auto")
+    assert d._use_decimate(1080, 1920)  # 2.07 MP: on
+    assert d._use_decimate(2160, 3840)  # 4K: on
+    assert not d._use_decimate(1024, 1024)  # 1.05 MP: off (loses tags)
+    assert not TagDetector("t36h11")._use_decimate(2160, 3840)  # default off
+
+
+def test_auto_mode_small_frame_stays_exact(data_dir):
+    """decimate="auto" on a 1024x1024 frame must take the exact path
+    (full 36 tags — the turbo path only finds ~26-33 there)."""
+    img = np.asarray(Image.open(data_dir / "r45.png"))
+    d = TagDetector("t36h11", mode="hybrid", decimate="auto")
+    assert len(d.detect(img)) == 36
+
+
+def test_turbo_batch(detectors, data_dir):
+    """Batched turbo detect returns per-frame dicts matching single-frame."""
+    _, d_turbo = detectors
+    img = np.asarray(Image.open(data_dir / "two_boards.png"))
+    single = d_turbo.detect(img)
+    batch = d_turbo.detect_batch(np.stack([img, img]))
+    assert len(batch) == 2
+    for res in batch:
+        assert set(res) == set(single)
+        for tid in single:
+            np.testing.assert_allclose(res[tid], single[tid], atol=1e-4)
+
+
+def test_invalid_decimate_arg():
+    with pytest.raises(ValueError):
+        TagDetector("t36h11", decimate="always")
+
+
+@pytest.mark.parametrize(
+    "name,crop",
+    [
+        ("iphone", (416, 640)),     # RGB, even dims
+        ("TUM_VI", (417, 513)),     # gray, odd dims
+        ("TUM_VI", (385, 512)),     # h ≡ 1 mod 128: pad_b == 0 DMA layout
+        ("two_boards", (512, 1024)),
+    ],
+)
+def test_pallas_turbo_frontend_matches_xla(data_dir, name, crop):
+    """The fused Pallas turbo front-end (front_kernel_decimate +
+    cluster_rochade_raw(luma_f32=True) + refine_at_raw) reproduces the
+    XLA decimated front-end exactly (same saddles, same luma8) in
+    interpret mode."""
+    import jax.numpy as jnp
+
+    from aprilgrid_tpu.config import (
+        DEFAULT_CAPACITIES,
+        DEFAULT_PARAMS,
+        PipelineConstants,
+    )
+    from aprilgrid_tpu.pipeline import (
+        _pallas_decimated_frontend_batch,
+        saddle_frontend_batch,
+    )
+
+    consts = PipelineConstants()
+    img = np.asarray(Image.open(data_dir / f"{name}.png"))[: crop[0], : crop[1]]
+    raw = jnp.asarray(img)[None]
+    s_ref, l8_ref = saddle_frontend_batch(
+        raw, DEFAULT_PARAMS, consts, DEFAULT_CAPACITIES,
+        use_pallas=False, decimate=True,
+    )
+    s_pal, l8_pal, counters = _pallas_decimated_frontend_batch(
+        raw, DEFAULT_PARAMS, consts, DEFAULT_CAPACITIES,
+        with_counters=True, interpret=True,
+    )
+    vr = np.asarray(s_ref.valid[0])
+    vp = np.asarray(s_pal.valid[0])
+    assert vr.sum() == vp.sum() and vr.sum() > 0
+    pr = np.asarray(s_ref.p[0])[vr]
+    pp = np.asarray(s_pal.p[0])[vp]
+    pr = pr[np.lexsort(pr.T)]
+    pp = pp[np.lexsort(pp.T)]
+    np.testing.assert_array_equal(pr, pp)
+    h, w = img.shape[:2]
+    np.testing.assert_array_equal(
+        np.asarray(l8_pal)[0, :h, :w], np.asarray(l8_ref)[0, :h, :w]
+    )
+    assert np.asarray(counters)[0, 0] == 0.0  # no overflow
+    assert np.asarray(counters)[0, 1] == 0.0  # no drops
