@@ -325,16 +325,35 @@ def _pallas_decimated_frontend_batch(
             params.max_saddle_angle,
         )
     )(raw)
-    refined = jax.vmap(
-        lambda im, s: refine_at_raw(
-            im,
-            s.p * 2.0 + 0.5,
-            s.valid,
-            consts.blur_sigma,
-            consts.rochade_half_patch,
-            consts.rochade_move_threshold,
+    if channels == 1 or w >= 384:
+        # per-candidate DMA refine kernel (XLA refine_at_raw is
+        # gather-bound on the TPU backend: ~3 ms/frame measured)
+        from .pallas.refine import sparse_refine_raw
+
+        refined = sparse_refine_raw(
+            raw_p,
+            half_saddles.p * 2.0 + 0.5,
+            half_saddles.valid,
+            h,
+            w,
+            channels=channels,
+            u16=u16,
+            sigma=consts.blur_sigma,
+            hp2=2 * consts.rochade_half_patch,
+            move_thr=consts.rochade_move_threshold,
+            interpret=interpret,
         )
-    )(imgs, half_saddles)
+    else:
+        refined = jax.vmap(
+            lambda im, s: refine_at_raw(
+                im,
+                s.p * 2.0 + 0.5,
+                s.valid,
+                consts.blur_sigma,
+                consts.rochade_half_patch,
+                consts.rochade_move_threshold,
+            )
+        )(imgs, half_saddles)
     saddles = jax.vmap(
         lambda s: filter_and_compact(
             s,
