@@ -76,19 +76,20 @@ def main() -> int:
     mode = f"{mode}+turbo" if decimate else mode
     images = IMAGES if scope == "geomean" else [("two_boards", 72)]
 
-    def bench_one(name, expect):
+    def bench_one(name, expect, d=None):
+        d = d or det
         img = load_image(f"tests/data/{name}.png")
         imgs = jnp.asarray(
             np.ascontiguousarray(np.broadcast_to(img, (batch,) + img.shape))
         )
         # warm up + correctness gate
-        out = det.detect_batch(imgs)
+        out = d.detect_batch(imgs)
         n_tags = len(out[0])
         assert n_tags == expect, f"{name}: expected {expect} tags, got {n_tags}"
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            det.detect_batch(imgs)
+            d.detect_batch(imgs)
             best = min(best, time.time() - t0)
         return batch / best, n_tags, img.shape[:2]
 
@@ -127,6 +128,32 @@ def main() -> int:
                           "value": 0.0, "unit": "fps/chip",
                           "vs_baseline": 0.0}))
         return 1
+
+    # secondary info lines: the approximate turbo mode on the >= 2 MP
+    # scenes (same tag IDs there — tests/test_decimate.py; sub-2MP
+    # scenes stay exact under the auto policy, so they are not re-run)
+    if scope == "geomean" and not decimate and mode == "hybrid":
+        try:
+            turbo_det = TagDetector("t36h11", mode="hybrid", decimate="auto")
+            for name, expect in [("iphone", 66), ("two_boards", 72)]:
+                fps, n_tags, (h, w) = bench_one(name, expect, d=turbo_det)
+                print(
+                    json.dumps(
+                        {
+                            "metric": (
+                                f"detect() {name} ({w}x{h}, {n_tags} tags, "
+                                "hybrid+turbo — approx mode, IDs exact, "
+                                "corners within 0.08 px)"
+                            ),
+                            "value": round(fps, 2),
+                            "unit": "fps/chip",
+                            "vs_baseline": round(fps / 2000.0, 4),
+                        }
+                    ),
+                    flush=True,
+                )
+        except Exception as e:  # noqa: BLE001 — info lines must not kill
+            print(f"# turbo lines skipped: {e!r}", file=sys.stderr, flush=True)
     geo = math.exp(sum(math.log(f) for f in fps_all) / len(fps_all))
     headline = (
         f"detect() geomean fps over the 7 golden images ({mode} mode)"
