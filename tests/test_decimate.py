@@ -86,6 +86,49 @@ def test_invalid_decimate_arg():
         TagDetector("t36h11", decimate="always")
 
 
+def test_turbo_stress_scene_2mp():
+    """Synthetic >= 2 MP scene: turbo must keep the exact pipeline's
+    tag-ID set (the auto-policy recall contract beyond the goldens)."""
+    from conftest import make_stress_scene
+
+    base = make_stress_scene(3)  # 820x820 with a rotated 4x4 board
+    canvas = np.full((1200, 1700), 160, np.uint8)  # 2.04 MP
+    canvas[190 : 190 + 820, 440 : 440 + 820] = base
+    d_exact = TagDetector("t36h11", mode="hybrid")
+    d_turbo = TagDetector("t36h11", mode="hybrid", decimate="auto")
+    r_exact = d_exact.detect(canvas)
+    r_turbo = d_turbo.detect(canvas)
+    assert len(r_exact) >= 8
+    assert set(r_turbo) == set(r_exact)
+    for tid in r_exact:
+        err = np.abs(
+            np.asarray(r_exact[tid]) - np.asarray(r_turbo[tid])
+        ).max()
+        assert err < 0.3, (tid, err)
+
+
+def test_turbo_detect_batch_sharded(data_dir):
+    """DP-sharded turbo detect == single-device turbo (CPU mesh)."""
+    from aprilgrid_tpu.parallel.sharding import (
+        detect_batch_sharded,
+        make_mesh,
+    )
+
+    img = np.asarray(Image.open(data_dir / "two_boards.png"))[:540, :960]
+    imgs = np.stack([img] * 4)
+    det = TagDetector("t36h11", mode="hybrid", decimate=True)
+    ref = det.detect_batch(imgs)
+    mesh = make_mesh({"data": 4})
+    got = detect_batch_sharded(det, imgs, mesh)
+    assert len(got) == 4
+    for r, g in zip(ref, got):
+        assert set(r) == set(g) and len(r) > 0
+        for tid in r:
+            np.testing.assert_allclose(
+                np.asarray(g[tid]), np.asarray(r[tid]), atol=1e-5
+            )
+
+
 @pytest.mark.parametrize(
     "name,crop",
     [
@@ -95,11 +138,11 @@ def test_invalid_decimate_arg():
         ("two_boards", (512, 1024)),
     ],
 )
-def test_pallas_turbo_frontend_matches_xla(data_dir, name, crop):
+def test_pallas_turbo_frontend_matches_xla(data_dir, name, crop, u16=False):
     """The fused Pallas turbo front-end (front_kernel_decimate +
-    cluster_rochade_raw(luma_f32=True) + refine_at_raw) reproduces the
-    XLA decimated front-end exactly (same saddles, same luma8) in
-    interpret mode."""
+    cluster_rochade_raw(luma_f32=True) + the sparse refine kernel)
+    reproduces the XLA decimated front-end exactly (same saddles, same
+    luma8) in interpret mode."""
     import jax.numpy as jnp
 
     from aprilgrid_tpu.config import (
@@ -114,6 +157,8 @@ def test_pallas_turbo_frontend_matches_xla(data_dir, name, crop):
 
     consts = PipelineConstants()
     img = np.asarray(Image.open(data_dir / f"{name}.png"))[: crop[0], : crop[1]]
+    if u16:
+        img = (img.astype(np.uint16) * 257)  # 16-bit gray path
     raw = jnp.asarray(img)[None]
     s_ref, l8_ref = saddle_frontend_batch(
         raw, DEFAULT_PARAMS, consts, DEFAULT_CAPACITIES,
@@ -130,10 +175,23 @@ def test_pallas_turbo_frontend_matches_xla(data_dir, name, crop):
     pp = np.asarray(s_pal.p[0])[vp]
     pr = pr[np.lexsort(pr.T)]
     pp = pp[np.lexsort(pp.T)]
-    np.testing.assert_array_equal(pr, pp)
+    if u16:
+        # the u16 /65535 luma division lowers with ulp-level differences
+        # between the kernel and vmap programs (u8 /255 is exact)
+        np.testing.assert_allclose(pr, pp, atol=1e-3)
+    else:
+        np.testing.assert_array_equal(pr, pp)
     h, w = img.shape[:2]
     np.testing.assert_array_equal(
         np.asarray(l8_pal)[0, :h, :w], np.asarray(l8_ref)[0, :h, :w]
     )
     assert np.asarray(counters)[0, 0] == 0.0  # no overflow
     assert np.asarray(counters)[0, 1] == 0.0  # no drops
+
+
+def test_pallas_turbo_frontend_u16(data_dir):
+    """u16 input exercises the 16-bit branches of the turbo front
+    kernel and the sparse refine kernel."""
+    test_pallas_turbo_frontend_matches_xla(
+        data_dir, "TUM_VI", (416, 512), u16=True
+    )
