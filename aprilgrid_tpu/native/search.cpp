@@ -756,7 +756,7 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   std::vector<int> seeds = buckets[best_b];
 
   std::vector<uint8_t> active_mask(m, 1);
-  Workspace ws, best_ws;
+  Workspace ws;
   PairCache cache;
   cache.reset(m);
   Searcher searcher(s, grid, grid_fine, spacing_ratio, ws, cache);

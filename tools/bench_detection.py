@@ -46,7 +46,10 @@ IMAGES = [
 def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    det = TagDetector("t36h11")
+    # BENCH_DECIMATE=1: the approximate turbo mode with the "auto"
+    # policy (>= 2 MP frames decimate; golden counts all hold)
+    decimate = os.environ.get("BENCH_DECIMATE", "0") not in ("0", "")
+    det = TagDetector("t36h11", decimate="auto" if decimate else False)
 
     fps_all = []
     for name, expect in IMAGES:
