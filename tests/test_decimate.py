@@ -86,6 +86,22 @@ def test_invalid_decimate_arg():
         TagDetector("t36h11", decimate="always")
 
 
+def test_turbo_xla_mode(data_dir):
+    """decimate composes with mode="xla": the whole decimated detect —
+    including board growth — inside one jitted program, matching the
+    hybrid turbo result."""
+    img = np.asarray(Image.open(data_dir / "two_boards.png"))
+    d_hyb = TagDetector("t36h11", mode="hybrid", decimate=True)
+    d_xla = TagDetector("t36h11", mode="xla", decimate=True)
+    r_hyb = d_hyb.detect(img)
+    r_xla = d_xla.detect(img)
+    assert set(r_xla) == set(r_hyb) and len(r_hyb) == 72
+    for tid in r_hyb:
+        np.testing.assert_allclose(
+            np.asarray(r_xla[tid]), np.asarray(r_hyb[tid]), atol=1e-3
+        )
+
+
 def test_turbo_stress_scene_2mp():
     """Synthetic >= 2 MP scene: turbo must keep the exact pipeline's
     tag-ID set (the auto-policy recall contract beyond the goldens)."""
