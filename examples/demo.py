@@ -38,6 +38,11 @@ def main() -> int:
     p.add_argument("--out", default="/tmp/aprilgrid_demo")
     p.add_argument("--family", default="t36h11")
     p.add_argument("--mode", default="hybrid", choices=["hybrid", "xla"])
+    p.add_argument(
+        "--turbo", action="store_true",
+        help="approximate decimated mode (auto policy: >= 2 MP frames "
+             "detect at half resolution with full-res corner re-refine)",
+    )
     args = p.parse_args()
 
     from aprilgrid_tpu.detector import TagDetector
@@ -50,7 +55,10 @@ def main() -> int:
 
     from aprilgrid_tpu.viz import write_timeline_html
 
-    det = TagDetector(args.family, mode=args.mode)
+    det = TagDetector(
+        args.family, mode=args.mode,
+        decimate="auto" if args.turbo else False,
+    )
     spec = get_family(args.family)
     frames = sorted(glob.glob(os.path.join(args.dir, "*.png")))
     os.makedirs(args.out, exist_ok=True)
