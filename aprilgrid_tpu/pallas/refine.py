@@ -72,7 +72,7 @@ def _kernel(
     out_ref[0] = jnp.zeros(out_ref.shape[1:], jnp.float32)
 
     size = hp2 + 1  # 5
-    pinv_np, cone_np = _constants(hp2 // 2)
+    _, cone_np = _constants(hp2 // 2)  # quadric fits use the rank-1 factors
 
     def win_start(i):
         # clamp candidate coords defensively (invalid slots are masked
