@@ -138,6 +138,16 @@ def saddle_frontend(
     return saddles, luma_u8
 
 
+def _pallas_cluster_ok(h: int, w: int) -> bool:
+    """Whether an (h, w) plane fits the Pallas cluster kernel's domain:
+    the padded height must cover one sweep window, packed labels store
+    the column in 16 bits, and the scan-order sort keys (row*w+col) must
+    stay exact in f32 (< 2^24 — an 8K frame exceeds this and takes the
+    XLA ops path instead; the TURBO mode clusters at half resolution,
+    which brings 8K back inside the domain)."""
+    return -(-h // 64) * 64 >= 184 and w < 2**16 and h * w < 2**24
+
+
 def saddle_frontend_batch(
     imgs: jnp.ndarray,
     params: DetectorParams,
@@ -165,13 +175,20 @@ def saddle_frontend_batch(
     import jax
 
     h, w = imgs.shape[1], imgs.shape[2]
-    if decimate and use_pallas and -(-(h // 2) // 64) * 64 >= 184:
+    if (
+        decimate
+        and use_pallas
+        and _pallas_cluster_ok(h // 2, w // 2)
+        and w < 2**16  # sparse-refine label/coord domain at FULL res
+    ):
         return _pallas_decimated_frontend_batch(
             imgs, params, consts, caps, with_counters
         )
     # the Pallas cluster kernel needs the padded height to cover one
-    # _WIN-row window; smaller frames take the XLA path below
-    if use_pallas and not decimate and -(-h // 64) * 64 >= 184:
+    # _WIN-row window; smaller frames take the XLA path below, and
+    # frames beyond the packed-label domain (8K-class) fall back to the
+    # XLA ops path instead of tripping the kernel's assertions
+    if use_pallas and not decimate and _pallas_cluster_ok(h, w):
         from .pallas.cluster import (
             cluster_rochade_raw,
             saddles_from_candidates,

@@ -86,6 +86,20 @@ def test_invalid_decimate_arg():
         TagDetector("t36h11", decimate="always")
 
 
+def test_pallas_cluster_domain_gate():
+    """8K-class frames exceed the Pallas cluster kernel's packed-label
+    domain and must route to the XLA ops path instead of tripping the
+    kernel asserts; turbo clusters at half resolution, which brings 8K
+    back inside the domain."""
+    from aprilgrid_tpu.pipeline import _pallas_cluster_ok
+
+    assert _pallas_cluster_ok(1080, 1920)
+    assert _pallas_cluster_ok(2160, 3840)        # 4K exact: 8.3M < 2^24
+    assert not _pallas_cluster_ok(4320, 7680)    # 8K exact: over the domain
+    assert _pallas_cluster_ok(4320 // 2, 7680 // 2)  # 8K turbo half plane
+    assert not _pallas_cluster_ok(100, 1920)     # too short for one window
+
+
 def test_turbo_xla_mode(data_dir):
     """decimate composes with mode="xla": the whole decimated detect —
     including board growth — inside one jitted program, matching the
