@@ -86,6 +86,21 @@ def test_invalid_decimate_arg():
         TagDetector("t36h11", decimate="always")
 
 
+def test_turbo_detect_stream(data_dir):
+    """detect_stream composes with turbo (the streaming path just calls
+    detect_batch, which resolves the decimate policy per batch)."""
+    from aprilgrid_tpu.parallel.streaming import detect_stream
+
+    det = TagDetector("t36h11", mode="hybrid", decimate=True)
+    img = np.asarray(Image.open(data_dir / "two_boards.png"))[:540, :960]
+    batches = [np.broadcast_to(img, (2,) + img.shape) for _ in range(2)]
+    got = list(detect_stream(det, iter(batches), prefetch=2))
+    ref = det.detect_batch(batches[0])
+    assert len(got) == 2
+    for res in got:
+        assert [set(r) for r in res] == [set(r) for r in ref]
+
+
 def test_pallas_cluster_domain_gate():
     """8K-class frames exceed the Pallas cluster kernel's packed-label
     domain and must route to the XLA ops path instead of tripping the
