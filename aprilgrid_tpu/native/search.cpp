@@ -427,13 +427,24 @@ struct PairCache {
   static constexpr uint32_t kFree = 0xffffffffu;
   std::vector<Entry> slots;
   uint32_t mask = 0;
+  size_t filled = 0;
+  Entry spill;  // returned past the load cap: computed but not stored
 
   void reset(int n_points) {
-    size_t cap = 1024;
-    while (cap < (size_t)n_points * 16) cap <<= 1;  // low load factor
+    // Demand scales with seeds x growth-grid (each cell expansion
+    // queries fresh (ai, bi) edges), not just with n_points: a dense
+    // low-resolution board can touch thousands of distinct pairs, so
+    // floor the table at 4096 and keep the load factor low. The spill
+    // guard below keeps the open-addressing probe FINITE regardless —
+    // an over-budget scene recomputes instead of hanging (a 64-saddle
+    // decimated board scene filled the old 1024-slot table and spun
+    // the probe loop forever).
+    size_t cap = 4096;
+    while (cap < (size_t)n_points * 16) cap <<= 1;
     if (slots.size() != cap) slots.assign(cap, Entry{});
     else std::fill(slots.begin(), slots.end(), Entry{});
     mask = (uint32_t)cap - 1;
+    filled = 0;
   }
 
   Entry& probe(uint32_t key, bool& hit) {
@@ -446,6 +457,11 @@ struct PairCache {
       }
       if (e.key == kFree) {
         hit = false;
+        if (2 * filled >= slots.size()) {  // half full: stop storing
+          spill = Entry{};
+          return spill;
+        }
+        ++filled;
         return e;
       }
       h = (h + 1) & mask;

@@ -101,6 +101,24 @@ def test_turbo_detect_stream(data_dir):
         assert [set(r) for r in res] == [set(r) for r in ref]
 
 
+def test_native_pair_cache_overflow(data_dir):
+    """Regression: a dense low-resolution board (64 turbo saddles of a
+    ~41 px-tag 4x4 grid) generated more distinct expansion-edge queries
+    than the native PairCache's old 1024 slots — the open-addressing
+    probe loop then spun forever on the first miss in a full table.
+    The cache now floors at 4096 slots and stops storing at 50 % load
+    (recompute instead of hang). Saddles captured from that scene."""
+    from aprilgrid_tpu import native
+
+    s = np.load(data_dir / "pair_cache_overflow_saddles.npy")
+    n = len(s)
+    quads, counts = native.find_board_batch(
+        s[None, :, 0], s[None, :, 1], s[None, :, 2],
+        np.ones((1, n), np.uint8),
+    )
+    assert counts[0] == 16  # the full 4x4 board
+
+
 def test_pallas_cluster_domain_gate():
     """8K-class frames exceed the Pallas cluster kernel's packed-label
     domain and must route to the XLA ops path instead of tripping the
