@@ -159,7 +159,7 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w,
 def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
-    u16=False, gh=None, luma_f32=False,
+    u16=False, gh=None, luma_f32=False, prefilter=False,
 ):
     # gh: the GLOBAL image height when this kernel processes a
     # row-sharded window of a taller frame (parallel/sharding.py); the
@@ -239,7 +239,7 @@ def _kernel(
         thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref,
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-        capf=capf, roff=roff, gh=gh,
+        capf=capf, roff=roff, gh=gh, prefilter=prefilter,
     )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
@@ -258,6 +258,7 @@ def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
     cur_ref, tall_ref,
     *, bi, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
+    prefilter=False,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -304,7 +305,7 @@ def _compute(
             mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf,
             rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-            capf=capf, roff=roff, gh=gh,
+            capf=capf, roff=roff, gh=gh, prefilter=prefilter,
         )
 
 
@@ -312,6 +313,7 @@ def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
     rm2_ref, rm3_ref, cur_ref, tall_ref,
     *, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
+    prefilter=False,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -341,24 +343,6 @@ def _compute_clusters(
         rightl = pltpu.roll(lab, 1, 1)
         m = jnp.minimum(jnp.minimum(upl, downl), jnp.minimum(leftl, rightl))
         return jnp.where(mask, jnp.minimum(lab, m), big)
-
-    def lbody(state):
-        lab, _ = state
-        for _ in range(3):
-            lab = relax(lab)
-        nxt = relax(lab)
-        return nxt, jnp.any(nxt != lab)
-
-    labels, _ = lax.while_loop(
-        lambda s: s[1], lbody, (relax(init), jnp.bool_(True))
-    )
-
-    band_lo = ti * _BAND
-    root = mask & (labels == own) & (grow >= band_lo) & (grow < band_lo + _BAND)
-
-    # park labels in a scratch ref so per-cluster member scans can slice
-    # a small row window around each root
-    lab_ref[:, :] = jnp.where(mask, labels, big)
 
     # --- dense ROCHADE fit coefficients (reference src/detector.rs:208-328)
     pinv_np, cone_np = _constants(hp2 // 2)
@@ -390,50 +374,132 @@ def _compute_clusters(
                 acc = acc + wgt * t
         return acc
 
-    smooth = stencil(blur, cone_np)
-    # every quadric-fit stencil is EXACTLY rank-1 (the monomial basis on
-    # a product grid separates), so each 25-tap pass factors into one
-    # 5-tap vertical + one 5-tap horizontal pass; the vertical factors
-    # repeat across coefficients and are shared
-    vcache: dict = {}
-    aplane = []
-    for j in range(5):
-        cvec, rvec = _pinv_rank1(hp2)[j]
-        key = tuple(np.round(cvec, 12))
-        if key not in vcache:
-            vcache[key] = stencil_1d(smooth, cvec, 0)
-        aplane.append(stencil_1d(vcache[key], rvec, 1))
-    a1, a2, a3, a4, a5 = aplane
-    # --- dense candidate record (reference src/detector.rs:330-356).
-    # The SAME f32 expressions the per-root scalar chain used to
-    # evaluate, now evaluated once per pixel; each root just reads the
-    # record at its rounded centroid, so the decision data is
-    # bit-identical to the scalar path's. fp-exact reference op
-    # sequence on purpose (plain divides, sqrt'd |c5| < k gate) — see
-    # the note that used to live in the root loop. Window-edge rows get
-    # roll-wraparound garbage here; every consumer is gated by
-    # margin_ok/in_b below, exactly as before.
-    dqf = (2.0 * a1) * (2.0 * a3) - a2 * a2
-    safe_d = jnp.where(dqf == 0.0, 1.0, dqf)
-    x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
-    y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
-    c5p = (a1 + a3) * 0.5
-    c4p = (a1 - a3) * 0.5
-    c3p = a2 * 0.5
-    kkp = jnp.sqrt(c4p * c4p + c3p * c3p)
-    okf = (
-        (dqf < 0.0)
-        & (jnp.abs(x0) <= move_thr)
-        & (jnp.abs(y0) <= move_thr)
-        & (jnp.abs(c5p) < kkp)
-    )
-    fbuf[0] = cloc.astype(jnp.float32) + x0
-    # y is emitted in GLOBAL rows (== local when single-chip)
-    fbuf[1] = (grow + roff).astype(jnp.float32) + y0
-    fbuf[2] = c3p
-    fbuf[3] = c4p
-    fbuf[4] = c5p
-    fbuf[5] = okf.astype(jnp.float32)
+    def make_records():
+        # dense candidate record (reference src/detector.rs:330-356). The
+        # SAME f32 expressions the per-root scalar chain used to
+        # evaluate, now evaluated once per pixel; each root just reads
+        # the record at its rounded centroid, so the decision data is
+        # bit-identical to the scalar path's. fp-exact reference op
+        # sequence on purpose (plain divides, sqrt'd |c5| < k gate) —
+        # see the note that used to live in the root loop. Window-edge
+        # rows get roll-wraparound garbage here; every consumer is gated
+        # by margin_ok/in_b below, exactly as before. Every quadric-fit
+        # stencil is EXACTLY rank-1 (the monomial basis on a product
+        # grid separates), so each 25-tap pass factors into one 5-tap
+        # vertical + one 5-tap horizontal pass; the vertical factors
+        # repeat across coefficients and are shared.
+        smooth = stencil(blur, cone_np)
+        vcache: dict = {}
+        aplane = []
+        for j in range(5):
+            cvec, rvec = _pinv_rank1(hp2)[j]
+            key = tuple(np.round(cvec, 12))
+            if key not in vcache:
+                vcache[key] = stencil_1d(smooth, cvec, 0)
+            aplane.append(stencil_1d(vcache[key], rvec, 1))
+        a1, a2, a3, a4, a5 = aplane
+        dqf = (2.0 * a1) * (2.0 * a3) - a2 * a2
+        safe_d = jnp.where(dqf == 0.0, 1.0, dqf)
+        x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
+        y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
+        c5p = (a1 + a3) * 0.5
+        c4p = (a1 - a3) * 0.5
+        c3p = a2 * 0.5
+        kkp = jnp.sqrt(c4p * c4p + c3p * c3p)
+        okf = (
+            (dqf < 0.0)
+            & (jnp.abs(x0) <= move_thr)
+            & (jnp.abs(y0) <= move_thr)
+            & (jnp.abs(c5p) < kkp)
+        )
+        fbuf[0] = cloc.astype(jnp.float32) + x0
+        # y is emitted in GLOBAL rows (== local when single-chip)
+        fbuf[1] = (grow + roff).astype(jnp.float32) + y0
+        fbuf[2] = c3p
+        fbuf[3] = c4p
+        fbuf[4] = c5p
+        fbuf[5] = okf.astype(jnp.float32)
+        return okf
+
+    if prefilter:
+        # --- TURBO-ONLY blob pre-filter. A root whose whole blob sits
+        # far from any accept-gate pixel can never append (the drain
+        # loop's accept reads okf at the rounded centroid, and the
+        # centroid of a real saddle blob lies within ~2 px of a member).
+        # Seed each masked pixel with the okf plane dilated by 2 px
+        # (Chebyshev, separable max passes), OR-propagate it across the
+        # component INSIDE the label fixpoint (zero extra sweeps: the
+        # loop already runs until the root's eccentricity is covered,
+        # and dist(root, nearest seed) <= eccentricity(root)), and drop
+        # seedless roots from the drain loop — on the bundled scenes
+        # ~50% of blobs, whose per-root serial scalar chains dominate
+        # the kernel. APPROXIMATE (a snaky blob whose centroid rounds
+        # >2 px from every member could be lost), so the exact-parity
+        # path never takes it; recall on the golden scenes is pinned by
+        # tests/test_decimate.py.
+        okf = make_records()
+        oki = jnp.where(okf, 1, 0)
+        vmax = oki
+        for sh in (1, 2, _WIN - 1, _WIN - 2):
+            vmax = jnp.maximum(vmax, pltpu.roll(oki, sh, 0))
+        okd = vmax
+        for sh in (1, 2, wp - 1, wp - 2):
+            okd = jnp.maximum(okd, pltpu.roll(vmax, sh, 1))
+        okinit = jnp.where(mask, okd, 0)
+
+        def relax2(lab, okp):
+            upl = pltpu.roll(lab, _WIN - 1, 0)
+            downl = pltpu.roll(lab, 1, 0)
+            leftl = pltpu.roll(lab, wp - 1, 1)
+            rightl = pltpu.roll(lab, 1, 1)
+            m = jnp.minimum(
+                jnp.minimum(upl, downl), jnp.minimum(leftl, rightl)
+            )
+            upo = pltpu.roll(okp, _WIN - 1, 0)
+            downo = pltpu.roll(okp, 1, 0)
+            lefto = pltpu.roll(okp, wp - 1, 1)
+            righto = pltpu.roll(okp, 1, 1)
+            mo = jnp.maximum(
+                jnp.maximum(upo, downo), jnp.maximum(lefto, righto)
+            )
+            return (
+                jnp.where(mask, jnp.minimum(lab, m), big),
+                jnp.where(mask, jnp.maximum(okp, mo), 0),
+            )
+
+        def lbody2(state):
+            lab, okp, _ = state
+            for _ in range(3):
+                lab, okp = relax2(lab, okp)
+            nxt, okp = relax2(lab, okp)
+            return nxt, okp, jnp.any(nxt != lab)
+
+        l0, o0 = relax2(init, okinit)
+        labels, okprop, _ = lax.while_loop(
+            lambda s: s[2], lbody2, (l0, o0, jnp.bool_(True))
+        )
+    else:
+        def lbody(state):
+            lab, _ = state
+            for _ in range(3):
+                lab = relax(lab)
+            nxt = relax(lab)
+            return nxt, jnp.any(nxt != lab)
+
+        labels, _ = lax.while_loop(
+            lambda s: s[1], lbody, (relax(init), jnp.bool_(True))
+        )
+        okprop = None
+
+    band_lo = ti * _BAND
+    root = mask & (labels == own) & (grow >= band_lo) & (grow < band_lo + _BAND)
+
+    # park labels in a scratch ref so per-cluster member scans can slice
+    # a small row window around each root
+    lab_ref[:, :] = jnp.where(mask, labels, big)
+
+    if not prefilter:
+        make_records()
 
     iota8r = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
     iota128 = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
@@ -710,7 +776,11 @@ def _compute_clusters(
         rm3v = jnp.where(rm3v == m, big, rm3v)
         return nproc, rm3v, jnp.min(rm3v)
 
-    rem0 = jnp.where(root, own, big)
+    if prefilter:
+        # seedless blobs never enter the drain loop (turbo pre-filter)
+        rem0 = jnp.where(root & (okprop > 0), own, big)
+    else:
+        rem0 = jnp.where(root, own, big)
     rem_ref[:, :] = rem0
     for b in range(nblk):
         rm2_ref[:, b : b + 1] = jnp.min(
@@ -833,7 +903,7 @@ def cluster_rochade(
     jax.jit,
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
-        "interpret", "capf", "global_h", "luma_f32",
+        "interpret", "capf", "global_h", "luma_f32", "prefilter",
     ),
 )
 def cluster_rochade_raw(
@@ -851,6 +921,9 @@ def cluster_rochade_raw(
     row_off: jnp.ndarray | None = None,  # (B,) int32 global row offsets
     global_h: int | None = None,
     luma_f32: bool = False,  # input is already f32 luma (turbo half plane)
+    prefilter: bool = False,  # turbo-only blob pre-filter (approximate):
+                              # skip blobs with no accept-gate pixel
+                              # within 2 px of any member
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -889,7 +962,7 @@ def cluster_rochade_raw(
         functools.partial(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
-            gh=global_h, luma_f32=luma_f32,
+            gh=global_h, luma_f32=luma_f32, prefilter=prefilter,
         ),
         grid=(b, tiles),
         in_specs=[
