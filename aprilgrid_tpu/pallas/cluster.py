@@ -98,12 +98,12 @@ def _pinv_rank1(hp2: int):
     return out
 
 
-def _window_start(ti, hp):
-    return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - _WIN), 8)
+def _window_start(ti, hp, win):
+    return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - win), 8)
 
 
 def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w,
-                   luma_f32=False):
+                   luma_f32=False, win=_WIN):
     """Raw slab (_WIN+16 rows of padded u8/u16, channels in lanes) ->
     blurred window (_WIN, wp) f32 — the same gray conversion + 7-tap
     separable blur as pallas/frontend.py (bit-identical tap order), so
@@ -153,14 +153,18 @@ def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w,
     blur = jnp.zeros_like(y)
     for k, kw in enumerate(taps):
         blur = blur + _roll(temp, radius - k, 0) * kw
-    return blur[8 : 8 + _WIN, 128 : 128 + wp]
+    return blur[8 : 8 + win, 128 : 128 + wp]
 
 
 def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
-    u16=False, gh=None, luma_f32=False, prefilter=False,
+    u16=False, gh=None, luma_f32=False, prefilter=False, win=_WIN,
 ):
+    # win: sweep-window rows (= _TOP context + _BAND band + blob
+    # headroom). The turbo path shrinks it to 160 — half-res blobs are
+    # half as tall, and the dense passes (fixpoint, stencils, hessian)
+    # scale with window rows.
     # gh: the GLOBAL image height when this kernel processes a
     # row-sharded window of a taller frame (parallel/sharding.py); the
     # local window's global row offset arrives per frame via roff_ref.
@@ -170,7 +174,7 @@ def _kernel(
         (mats_ref, thr_ref, roff_ref, src_hbm, out_ref, cnt_ref, blur_w,
          lscr, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref, cur_ref,
          tall_ref, sem) = refs
-        rows = _WIN + 16  # raw slab: 8 luma-context rows above + below
+        rows = win + 16  # raw slab: 8 luma-context rows above + below
         hp = src_hbm.shape[1] - 16
     else:
         (thr_ref, src_hbm, out_ref, cnt_ref, blur_w, lab_ref,
@@ -178,7 +182,7 @@ def _kernel(
         mats_ref = None
         lscr = None
         roff_ref = None
-        rows = _WIN
+        rows = win
         hp = src_hbm.shape[1]
     if gh is None:
         gh = h
@@ -186,7 +190,7 @@ def _kernel(
     ti = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
-    row0 = _window_start(ti, hp)
+    row0 = _window_start(ti, hp, win)
 
     # double-buffered window DMA: slot parity follows the GLOBAL step
     # (bi*nt + ti) so it stays consistent across batch boundaries when the
@@ -204,7 +208,7 @@ def _kernel(
     last_t = ti == nt - 1
     nbi = jnp.where(last_t, bi + 1, bi)
     nti = jnp.where(last_t, 0, ti + 1)
-    nrow0 = _window_start(nti, hp)
+    nrow0 = _window_start(nti, hp, win)
 
     @pl.when(nbi < nb)
     def _():
@@ -221,7 +225,7 @@ def _kernel(
     if from_raw:
         blur = _blur_from_raw(
             mats_ref, blur_w[slot], lscr, taps=taps, channels=channels,
-            u16=u16, w=w, luma_f32=luma_f32,
+            u16=u16, w=w, luma_f32=luma_f32, win=win,
         )
     else:
         blur = blur_w[slot]
@@ -239,7 +243,7 @@ def _kernel(
         thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref,
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-        capf=capf, roff=roff, gh=gh, prefilter=prefilter,
+        capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
     )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
@@ -258,7 +262,7 @@ def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
     cur_ref, tall_ref,
     *, bi, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False,
+    prefilter=False, win=_WIN,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -267,8 +271,8 @@ def _compute(
     thr = thr_ref[bi, 0]
     wp = blur.shape[1]
 
-    rloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 0)
-    cloc = jax.lax.broadcasted_iota(jnp.int32, (_WIN, wp), 1)
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 0)
+    cloc = jax.lax.broadcasted_iota(jnp.int32, (win, wp), 1)
     grow = row0 + rloc
 
     # --- Hessian response in-window (identical math to the frontend
@@ -277,7 +281,7 @@ def _compute(
     left = pltpu.roll(blur, 1, 1)
     right = pltpu.roll(blur, wp - 1, 1)
     up = pltpu.roll(blur, 1, 0)
-    down = pltpu.roll(blur, _WIN - 1, 0)
+    down = pltpu.roll(blur, win - 1, 0)
     ul = pltpu.roll(up, 1, 1)
     ur = pltpu.roll(up, wp - 1, 1)
     dl = pltpu.roll(down, 1, 1)
@@ -289,7 +293,7 @@ def _compute(
 
     grow_g = grow + roff  # global row (== grow when single-chip)
     valid_px = (
-        (rloc > 0) & (rloc < _WIN - 1)           # window interior rows
+        (rloc > 0) & (rloc < win - 1)            # window interior rows
         & (grow_g > 0) & (grow_g < gh - 1)       # reference zero borders
         & (cloc > 0) & (cloc < w - 1)
     )
@@ -305,7 +309,7 @@ def _compute(
             mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf,
             rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
-            capf=capf, roff=roff, gh=gh, prefilter=prefilter,
+            capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
         )
 
 
@@ -313,7 +317,7 @@ def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
     rm2_ref, rm3_ref, cur_ref, tall_ref,
     *, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False,
+    prefilter=False, win=_WIN,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -337,7 +341,7 @@ def _compute_clusters(
         # are ALWAYS `big` and a wrap-around roll can only deliver
         # `big` — it can never corrupt the min. Dropping the four
         # guard compare+selects nearly halves the relax sweep.
-        upl = pltpu.roll(lab, _WIN - 1, 0)
+        upl = pltpu.roll(lab, win - 1, 0)
         downl = pltpu.roll(lab, 1, 0)
         leftl = pltpu.roll(lab, wp - 1, 1)
         rightl = pltpu.roll(lab, 1, 1)
@@ -352,7 +356,7 @@ def _compute_clusters(
         # acc[r, c] = sum_{dr, dc} weights[dr, dc] * src[r+dr-2, c+dc-2]
         acc = jnp.zeros_like(src)
         for dr in range(size):
-            sh_r = (_WIN - dr + 2) % _WIN
+            sh_r = (win - dr + 2) % win
             t = pltpu.roll(src, sh_r, 0) if sh_r else src
             for dc in range(size):
                 wgt = float(weights[dr, dc])
@@ -364,7 +368,7 @@ def _compute_clusters(
         return acc
 
     def stencil_1d(src, w, axis):
-        dim = _WIN if axis == 0 else wp
+        dim = win if axis == 0 else wp
         acc = jnp.zeros_like(src)
         for d in range(size):
             sh = (dim - d + 2) % dim
@@ -440,7 +444,7 @@ def _compute_clusters(
         okf = make_records()
         oki = jnp.where(okf, 1, 0)
         vmax = oki
-        for sh in (1, 2, _WIN - 1, _WIN - 2):
+        for sh in (1, 2, win - 1, win - 2):
             vmax = jnp.maximum(vmax, pltpu.roll(oki, sh, 0))
         okd = vmax
         for sh in (1, 2, wp - 1, wp - 2):
@@ -448,14 +452,14 @@ def _compute_clusters(
         okinit = jnp.where(mask, okd, 0)
 
         def relax2(lab, okp):
-            upl = pltpu.roll(lab, _WIN - 1, 0)
+            upl = pltpu.roll(lab, win - 1, 0)
             downl = pltpu.roll(lab, 1, 0)
             leftl = pltpu.roll(lab, wp - 1, 1)
             rightl = pltpu.roll(lab, 1, 1)
             m = jnp.minimum(
                 jnp.minimum(upl, downl), jnp.minimum(leftl, rightl)
             )
-            upo = pltpu.roll(okp, _WIN - 1, 0)
+            upo = pltpu.roll(okp, win - 1, 0)
             downo = pltpu.roll(okp, 1, 0)
             lefto = pltpu.roll(okp, wp - 1, 1)
             righto = pltpu.roll(okp, 1, 1)
@@ -571,7 +575,7 @@ def _compute_clusters(
         # 2 rows still defer to the full-_SUB rescan via the tall list.
         lroot = [
             pl.multiple_of(
-                (jnp.clip((lbls[i] >> 16) - row0, 0, _WIN - rows) // 8) * 8,
+                (jnp.clip((lbls[i] >> 16) - row0, 0, win - rows) // 8) * 8,
                 8,
             )
             for i in rr
@@ -647,13 +651,13 @@ def _compute_clusters(
             & (rx[i] + hp2 < w)
             for i in rr
         ]
-        lr = [jnp.clip(ry[i] - row0, 0, _WIN - 1) for i in rr]
+        lr = [jnp.clip(ry[i] - row0, 0, win - 1) for i in rr]
         # ROCHADE support must stay inside the valid stencil interior
-        margin_ok = [(lr[i] >= 4) & (lr[i] <= _WIN - 5) for i in rr]
+        margin_ok = [(lr[i] >= 4) & (lr[i] <= win - 5) for i in rr]
         rxc = [jnp.clip(rx[i], 0, wp - 1) for i in rr]
         cb = [pl.multiple_of((rxc[i] // 128) * 128, 128) for i in rr]
         lr8 = [
-            pl.multiple_of(jnp.clip((lr[i] // 8) * 8, 0, _WIN - 8), 8)
+            pl.multiple_of(jnp.clip((lr[i] // 8) * 8, 0, win - 8), 8)
             for i in rr
         ]
         onehot = [
@@ -729,8 +733,8 @@ def _compute_clusters(
         # kernel to the drain OUTER loop (one iteration per occupied
         # region), so taller regions halve its trip count for two extra
         # tiles of inner where/min work — net win on board scenes
-        lr_m = jnp.clip((m >> 16) - row0, 0, _WIN - 1)
-        g16 = pl.multiple_of(jnp.clip((lr_m // 16) * 16, 0, _WIN - 16), 8)
+        lr_m = jnp.clip((m >> 16) - row0, 0, win - 1)
+        g16 = pl.multiple_of(jnp.clip((lr_m // 16) * 16, 0, win - 16), 8)
         c128 = pl.multiple_of(
             jnp.clip(((m & 0xFFFF) // 128) * 128, 0, wp - 128), 128
         )
@@ -787,9 +791,9 @@ def _compute_clusters(
             rem0[:, 128 * b : 128 * (b + 1)], axis=1, keepdims=True
         )
     rm2v = rm2_ref[:, :]
-    for g in range((_WIN + 15) // 16):
+    for g in range((win + 15) // 16):
         rm3_ref[g : g + 1, :] = jnp.min(
-            rm2v[16 * g : min(16 * (g + 1), _WIN), :], axis=0,
+            rm2v[16 * g : min(16 * (g + 1), win), :], axis=0,
             keepdims=True,
         )
     cur_ref[2] = jnp.int32(0)  # tall list is per window
@@ -903,7 +907,7 @@ def cluster_rochade(
     jax.jit,
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
-        "interpret", "capf", "global_h", "luma_f32", "prefilter",
+        "interpret", "capf", "global_h", "luma_f32", "prefilter", "win",
     ),
 )
 def cluster_rochade_raw(
@@ -924,6 +928,8 @@ def cluster_rochade_raw(
     prefilter: bool = False,  # turbo-only blob pre-filter (approximate):
                               # skip blobs with no accept-gate pixel
                               # within 2 px of any member
+    win: int = _WIN,  # sweep-window rows; the turbo path uses 160 (24-row
+                      # blob headroom — half-res blobs are half as tall)
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -945,7 +951,11 @@ def cluster_rochade_raw(
     wp = raw_p.shape[2] // channels
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
-    assert hp >= _WIN and hp % 8 == 0
+    assert hp >= win and hp % 8 == 0
+    assert win % 8 == 0 and win >= _BAND + _TOP + _SUBF, (
+        "window must be 8-aligned and cover band + top context + the "
+        "fast member-scan rows"
+    )
     assert wp % 128 == 0
     assert w < 2**16, f"width {w} overflows the packed (row<<16|col) label"
     assert h * w < 2**24, (
@@ -962,7 +972,7 @@ def cluster_rochade_raw(
         functools.partial(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
-            gh=global_h, luma_f32=luma_f32, prefilter=prefilter,
+            gh=global_h, luma_f32=luma_f32, prefilter=prefilter, win=win,
         ),
         grid=(b, tiles),
         in_specs=[
@@ -986,13 +996,13 @@ def cluster_rochade_raw(
             jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, _WIN + 16, wp * channels), raw_p.dtype),
-            pltpu.VMEM((_WIN + 16, wp + 256), jnp.float32),
-            pltpu.VMEM((_WIN, wp), jnp.int32),
-            pltpu.VMEM((6, _WIN, wp), jnp.float32),
-            pltpu.VMEM((_WIN, wp), jnp.int32),
-            pltpu.VMEM((_WIN, nblk), jnp.int32),
-            pltpu.VMEM(((_WIN + 15) // 16, nblk), jnp.int32),
+            pltpu.VMEM((2, win + 16, wp * channels), raw_p.dtype),
+            pltpu.VMEM((win + 16, wp + 256), jnp.float32),
+            pltpu.VMEM((win, wp), jnp.int32),
+            pltpu.VMEM((6, win, wp), jnp.float32),
+            pltpu.VMEM((win, wp), jnp.int32),
+            pltpu.VMEM((win, nblk), jnp.int32),
+            pltpu.VMEM(((win + 15) // 16, nblk), jnp.int32),
             pltpu.SMEM((3,), jnp.int32),
             pltpu.SMEM((_TALLCAP,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -289,9 +289,14 @@ def _front_kernel(
     center = (slice(8, 8 + tile_h), slice(128, 128 + w_pad))
     if blur_ref is not None:
         blur_ref[0, :, :] = blur[center]
-    luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
-        jnp.uint8
-    )
+    if channels == 1 and not u16:
+        # u8 gray input: luma8 IS the raw plane (l8 = x is the identity
+        # round trip) — copy the slab rows, skip two full-tile casts
+        luma8_ref[0, :, :] = slab[slot][8 : 8 + tile_h, :]
+    else:
+        luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
+            jnp.uint8
+        )
     resp_center = jnp.where(border, 0.0, resp[center])
     min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
 
@@ -507,10 +512,13 @@ def _front_kernel_decimate(
         l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
     else:
         lf = x / 255.0
-        l8 = x
-    luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
-        jnp.uint8
-    )
+        l8 = None  # u8 gray: luma8 IS the raw plane (identity round trip)
+    if l8 is None:
+        luma8_ref[0, :, :] = slab[slot][8 : 8 + tile_h, :]
+    else:
+        luma8_ref[0, :, :] = l8[8 : 8 + tile_h, :].astype(jnp.int32).astype(
+            jnp.uint8
+        )
 
     # --- 2x2 pairwise-mean decimation: lane pair sums (roll), compact
     # even lanes (selection matmul), sublane pair sums (roll), compact

@@ -332,6 +332,9 @@ def _pallas_decimated_frontend_batch(
         # invariant) drain loop — ~2x fewer loop trips, recall on the
         # golden scenes pinned by tests/test_decimate.py
         prefilter=True,
+        # half-res blobs are half as tall: 24 rows of blob headroom
+        # instead of 48 — the dense passes scale with window rows
+        win=160,
         sigma=consts.blur_sigma,
         hp2=2 * consts.rochade_half_patch,
         move_thr=consts.rochade_move_threshold,
