@@ -103,6 +103,61 @@ def main():
 
     run("lane prefix-sum (16,128) log-rolls", k_prefix,
         jax.ShapeDtypeStruct((16, 128), jnp.float32), x)
+
+    # --- the extraction design's exact op mix (docs/ROADMAP.md):
+    # A @ B^T via dot_general contracting LANES of both operands (the
+    # native MXU orientation, as in flash-attention kernels)
+    a = jnp.arange(8 * 2048, dtype=jnp.float32).reshape(8, 2048) % 7.0
+    bmat = jnp.arange(8 * 2048, dtype=jnp.float32).reshape(8, 2048) % 5.0
+
+    def k_dotT(a_ref, b_ref, o_ref):
+        o_ref[:, :] = jax.lax.dot_general(
+            a_ref[:, :], b_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    run("dot_general (8,2048)x(8,2048)^T lanes-lanes", k_dotT,
+        jax.ShapeDtypeStruct((8, 8), jnp.float32), a, bmat)
+
+    # broadcast-compare one-hot against a (slots, 1) column + masked
+    # lane reduce to (slots, 1) — the member-sum / bot-touch op shape
+    lbl = jnp.arange(15360, dtype=jnp.int32).reshape(1, 15360) % 97
+    col = (jnp.arange(8, dtype=jnp.int32) * 13).reshape(8, 1)
+
+    def k_member(l_ref, c_ref, o_ref):
+        oh2 = (
+            jnp.broadcast_to(l_ref[:, :], (8, 15360))
+            == jnp.broadcast_to(c_ref[:, :], (8, 15360))
+        )
+        o_ref[:, :] = jnp.sum(
+            oh2.astype(jnp.float32), axis=1, keepdims=True
+        )
+
+    run("member one-hot (8,15360) + lane reduce", k_member,
+        jax.ShapeDtypeStruct((8, 1), jnp.float32), lbl, col)
+
+    # reshape (40, 384) -> (1, 15360): the shared member window flatten
+    m = jnp.arange(40 * 384, dtype=jnp.float32).reshape(40, 384)
+
+    def k_reshape_mw(m_ref, o_ref):
+        o_ref[:, :] = m_ref[:, :].reshape(1, 15360)
+
+    run("reshape (40,384)->(1,15360)", k_reshape_mw,
+        jax.ShapeDtypeStruct((1, 15360), jnp.float32), m)
+
+    # sublane prefix-sum on a (16, 1) column (in-block append ranks)
+    cvec = jnp.ones((16, 1), jnp.float32)
+
+    def k_colprefix(c_ref, o_ref):
+        a2 = c_ref[:, :]
+        si = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
+        for s in (1, 2, 4, 8):
+            a2 = a2 + jnp.where(si >= s, pltpu.roll(a2, s, 0), 0.0)
+        o_ref[:, :] = a2
+
+    run("sublane prefix-sum (16,1)", k_colprefix,
+        jax.ShapeDtypeStruct((16, 1), jnp.float32), cvec)
     return 0
 
 
