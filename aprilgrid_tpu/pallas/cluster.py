@@ -1226,9 +1226,10 @@ def cluster_rochade_raw(
         "fast member-scan rows"
     )
     assert extract in ("drain", "matmul")
-    assert extract == "drain" or (wp >= _MCOLS and win >= _MROWS), (
-        "matmul extraction needs the shared member window to fit"
-    )
+    if extract == "matmul" and (wp < _MCOLS or win < _MROWS):
+        # narrow/short planes: the shared member window doesn't fit —
+        # fall back to the (bit-identical) serial drain
+        extract = "drain"
     assert wp % 128 == 0
     assert w < 2**16, f"width {w} overflows the packed (row<<16|col) label"
     assert h * w < 2**24, (

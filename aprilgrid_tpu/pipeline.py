@@ -148,6 +148,16 @@ def _pallas_cluster_ok(h: int, w: int) -> bool:
     return -(-h // 64) * 64 >= 184 and w < 2**16 and h * w < 2**24
 
 
+def _extract_mode() -> str:
+    """Root-extraction strategy for the Pallas cluster kernel: the
+    serial region drain (default) or the vectorized per-chunk matmul
+    batch — bit-identical results (tests/test_extract_matmul.py).
+    Env ``AG_EXTRACT=matmul`` flips it for hardware A/B benching."""
+    import os
+
+    return os.environ.get("AG_EXTRACT", "drain")
+
+
 def saddle_frontend_batch(
     imgs: jnp.ndarray,
     params: DetectorParams,
@@ -226,6 +236,7 @@ def saddle_frontend_batch(
             sigma=consts.blur_sigma,
             hp2=2 * consts.rochade_half_patch,
             move_thr=consts.rochade_move_threshold,
+            extract=_extract_mode(),
         )
         raw = jax.vmap(saddles_from_candidates)(fields)
         saddles = jax.vmap(
@@ -338,6 +349,7 @@ def _pallas_decimated_frontend_batch(
         sigma=consts.blur_sigma,
         hp2=2 * consts.rochade_half_patch,
         move_thr=consts.rochade_move_threshold,
+        extract=_extract_mode(),
         interpret=interpret,
     )
     raw = jax.vmap(saddles_from_candidates)(fields)
