@@ -169,7 +169,7 @@ def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
     u16=False, gh=None, luma_f32=False, prefilter=False, win=_WIN,
-    extract="drain",
+    extract="drain", mslots=_MSLOTS,
 ):
     # win: sweep-window rows (= _TOP context + _BAND band + blob
     # headroom). The turbo path shrinks it to 160 — half-res blobs are
@@ -254,7 +254,7 @@ def _kernel(
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
         capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
-        extract=extract,
+        extract=extract, mslots=mslots,
     )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
@@ -273,7 +273,7 @@ def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
     cur_ref, tall_ref,
     *, bi, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False, win=_WIN, extract="drain",
+    prefilter=False, win=_WIN, extract="drain", mslots=_MSLOTS,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -321,7 +321,7 @@ def _compute(
             rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
             capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
-            extract=extract,
+            extract=extract, mslots=mslots,
         )
 
 
@@ -329,7 +329,7 @@ def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
     rm2_ref, rm3_ref, cur_ref, tall_ref,
     *, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False, win=_WIN, extract="drain",
+    prefilter=False, win=_WIN, extract="drain", mslots=_MSLOTS,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -815,7 +815,7 @@ def _compute_clusters(
         # in-block compaction by a one-hot permute matmul; tall roots
         # defer to the same serial 48-row rescan as the drain path.
         nproc, rm3v, m = state
-        S = _MSLOTS
+        S = mslots
         lr_m = jnp.clip((m >> 16) - row0, 0, win - 1)
         g16 = pl.multiple_of(jnp.clip((lr_m // 16) * 16, 0, win - 16), 8)
         c128 = pl.multiple_of(
@@ -968,7 +968,7 @@ def _compute_clusters(
         # and are either overwritten by the next block or filtered
         # downstream (label key -> +inf)
         rankacc = accf
-        for sh in (1, 2, 4):
+        for sh in (1, 2, 4, 8)[: (S - 1).bit_length()]:
             rankacc = rankacc + jnp.where(
                 si[:S] >= sh, pltpu.roll(rankacc, sh, 0), 0.0
             )
@@ -1001,7 +1001,7 @@ def _compute_clusters(
         def _():
             tallf = tall.astype(jnp.float32)
             rankt = tallf
-            for sh in (1, 2, 4):
+            for sh in (1, 2, 4, 8)[: (S - 1).bit_length()]:
                 rankt = rankt + jnp.where(
                     si[:S] >= sh, pltpu.roll(rankt, sh, 0), 0.0
                 )
@@ -1022,7 +1022,7 @@ def _compute_clusters(
             ).astype(jnp.int32)
             tlbl = (trow << 16) | tcol                # (S, 1) talls first
             tc = cur_ref[2]
-            for t in range(_MSLOTS):
+            for t in range(S):
                 tall_ref[jnp.minimum(tc + t, _TALLCAP - 1)] = jnp.sum(
                     jnp.where(si[:S] == t, tlbl, 0)
                 )
@@ -1173,7 +1173,7 @@ def cluster_rochade(
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
         "interpret", "capf", "global_h", "luma_f32", "prefilter", "win",
-        "extract",
+        "extract", "mslots",
     ),
 )
 def cluster_rochade_raw(
@@ -1199,6 +1199,7 @@ def cluster_rochade_raw(
     extract: str = "drain",  # "drain": serial per-root region drain;
                              # "matmul": vectorized per-chunk rank/one-hot
                              # extraction (bit-identical results)
+    mslots: int = _MSLOTS,   # matmul-extraction slots per chunk visit
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -1247,7 +1248,7 @@ def cluster_rochade_raw(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
             gh=global_h, luma_f32=luma_f32, prefilter=prefilter, win=win,
-            extract=extract,
+            extract=extract, mslots=mslots,
         ),
         grid=(b, tiles),
         in_specs=[

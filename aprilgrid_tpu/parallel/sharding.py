@@ -302,7 +302,7 @@ def saddle_frontend_rows_sharded_pallas(
             row_off=roff, global_h=H,
         )
         thr = lax.pmin(jnp.min(tmin), axis) * consts.response_threshold_ratio
-        from ..pipeline import _extract_mode
+        from ..pipeline import _extract_cfg
 
         fields, _counts = cluster_rochade_raw(
             raw_loc, thr[None], h=local_h, w=wt,
@@ -310,7 +310,7 @@ def saddle_frontend_rows_sharded_pallas(
             sigma=consts.blur_sigma,
             hp2=2 * consts.rochade_half_patch,
             move_thr=consts.rochade_move_threshold,
-            extract=_extract_mode(),
+            **_extract_cfg(),
             interpret=interpret,
             row_off=roff, global_h=H,
         )

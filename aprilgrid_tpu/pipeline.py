@@ -148,14 +148,18 @@ def _pallas_cluster_ok(h: int, w: int) -> bool:
     return -(-h // 64) * 64 >= 184 and w < 2**16 and h * w < 2**24
 
 
-def _extract_mode() -> str:
+def _extract_cfg() -> dict:
     """Root-extraction strategy for the Pallas cluster kernel: the
     serial region drain (default) or the vectorized per-chunk matmul
     batch — bit-identical results (tests/test_extract_matmul.py).
-    Env ``AG_EXTRACT=matmul`` flips it for hardware A/B benching."""
+    Env ``AG_EXTRACT=matmul`` flips it for hardware A/B benching;
+    ``AG_MSLOTS`` (8/16) tunes the per-visit batch width."""
     import os
 
-    return os.environ.get("AG_EXTRACT", "drain")
+    return {
+        "extract": os.environ.get("AG_EXTRACT", "drain"),
+        "mslots": int(os.environ.get("AG_MSLOTS", "8")),
+    }
 
 
 def saddle_frontend_batch(
@@ -236,7 +240,7 @@ def saddle_frontend_batch(
             sigma=consts.blur_sigma,
             hp2=2 * consts.rochade_half_patch,
             move_thr=consts.rochade_move_threshold,
-            extract=_extract_mode(),
+            **_extract_cfg(),
         )
         raw = jax.vmap(saddles_from_candidates)(fields)
         saddles = jax.vmap(
@@ -349,7 +353,7 @@ def _pallas_decimated_frontend_batch(
         sigma=consts.blur_sigma,
         hp2=2 * consts.rochade_half_patch,
         move_thr=consts.rochade_move_threshold,
-        extract=_extract_mode(),
+        **_extract_cfg(),
         interpret=interpret,
     )
     raw = jax.vmap(saddles_from_candidates)(fields)

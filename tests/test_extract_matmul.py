@@ -72,14 +72,15 @@ def test_matmul_extraction_matches_drain(data_dir, name, crop, min_rows):
     _assert_pair(*_frontend(img), min_rows)
 
 
-def test_matmul_extraction_dense_revisits():
-    """>8 roots per (16, 128) chunk: leftovers must stay in rem and be
-    re-extracted on a later visit of the same chunk."""
+@pytest.mark.parametrize("mslots", [8, 16])
+def test_matmul_extraction_dense_revisits(mslots):
+    """>mslots roots per (16, 128) chunk: leftovers must stay in rem and
+    be re-extracted on a later visit of the same chunk."""
     cb = np.indices((25, 41)).sum(0) % 2
     dense = np.kron(cb, np.ones((4, 4), np.uint8)) * 255
     img = np.full((192, 384), 255, np.uint8)
     img[16:116, 64:228] = dense
-    _assert_pair(*_frontend(img), 500)
+    _assert_pair(*_frontend(img), 500, mslots=mslots)
 
 
 def test_matmul_extraction_clipped_last_window():
