@@ -11,11 +11,14 @@ top-most (minimum linear index) pixel. Per window, entirely in VMEM:
 
 1. Hessian response (bit-identical to the frontend kernel's) and the
    threshold mask; windows with no masked pixel skip everything below;
-2. min-index label relaxation to a fixpoint; roots drained
-   region-by-region (ascending region minima, then ascending within
-   each (8, 128) region) over loop-carried registers — scan order is
-   restored downstream by one XLA sort on the stored labels; centroids
-   come from sub-window masked reductions;
+2. min-index label relaxation to a fixpoint; roots extracted in
+   ascending-region-minimum order by one of two bit-identical
+   strategies (``extract=``): the serial two-root region DRAIN over
+   loop-carried registers, or the vectorized per-chunk MATMUL batch
+   (up to ``mslots`` roots rank-compacted through one-hot dot_generals,
+   centroids/gates from shared member windows with per-slot bounds —
+   kills the ~0.65 us/root scalar latency chain). Scan order is
+   restored downstream by one XLA sort on the stored labels;
 3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
    densely — cone smoothing (25 taps) then the 5 fit coefficients as
    SEPARABLE rank-1 stencils (shared 5-tap vertical + 5-tap horizontal
