@@ -90,6 +90,23 @@ def test_matmul_extraction_clipped_last_window():
     _assert_pair(*_frontend(img), 80)
 
 
+def test_matmul_extraction_e2e_golden(data_dir, monkeypatch):
+    """AG_EXTRACT=matmul end to end through the hybrid detector: same
+    tags as the default path on a golden scene (the env knob is read at
+    trace time; the static arg keys a separate jit cache entry)."""
+    from aprilgrid_tpu.detector import TagDetector
+
+    monkeypatch.setenv("AG_EXTRACT", "matmul")
+    img = np.asarray(Image.open(data_dir / "EuRoC.png"))
+    tags = TagDetector("t36h11").detect(img)
+    assert len(tags) == 36
+    monkeypatch.delenv("AG_EXTRACT")
+    ref = TagDetector("t36h11").detect(img)
+    assert set(tags) == set(ref)
+    for tid, c in tags.items():
+        np.testing.assert_array_equal(np.asarray(c), np.asarray(ref[tid]))
+
+
 def test_matmul_extraction_turbo_half_plane(data_dir):
     """Turbo composition: half-res f32 luma plane, prefilter on, and the
     160-row sweep window."""
