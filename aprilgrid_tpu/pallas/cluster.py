@@ -948,23 +948,40 @@ def _compute_clusters(
             & (jnp.broadcast_to(colB, (S, nm)) == rxc)
         ).astype(jnp.float32)
         recw = fbuf[:, pl.ds(wr0, _MROWS), pl.ds(cst, _MCOLS)]
-        rec = [
-            jax.lax.dot_general(
-                ohp, recw[j].reshape(1, nm), ddn,
-                preferred_element_type=jnp.float32,
-            )
-            for j in range(6)
-        ]                                             # 6 x (S, 1)
-        okp = rec[5] > 0.5
+        feat6 = jnp.concatenate(
+            [recw[j].reshape(1, nm) for j in range(6)], axis=0
+        )                                             # (6, nm)
+        rec = jax.lax.dot_general(
+            ohp, feat6, ddn, preferred_element_type=jnp.float32
+        )                                             # (S, 6): one MXU pass
+        # okf plane value at the pick = column 5 of rec, extracted with
+        # a (6, 1) selection matmul (Mosaic lane slices of tiny arrays
+        # are the risky primitive; 0/1 matmuls move values exactly)
+        # selection matrices from iotas (pallas_call rejects captured
+        # concrete constants); 0/1 matmuls move the values bit-exactly
+        i6r = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
+        e5 = (i6r == 5).astype(jnp.float32)
+        okp = jnp.dot(rec, e5, preferred_element_type=jnp.float32) > 0.5
         acc = en & in_b & ~bad & ~tall & margin_ok & okp
         accf = acc.astype(jnp.float32)
         scan_lbl = (row_s * w + col_s).astype(jnp.float32) + 1.0
-        block = jnp.concatenate(
-            [
-                rec[0], rec[1], jnp.zeros((S, 1), jnp.float32),
-                rec[2], rec[3], rec[4], accf, scan_lbl,
-            ],
-            axis=1,
+        # block columns [x, y, 0, c3, c4, c5, acc, label+1]: place the
+        # six record values with a 0/1 matrix (x,y stay at cols 0-1;
+        # c3..c5 shift to cols 3-5; okf is dropped) and add the
+        # acc/label columns as outer products — all bit-exact moves
+        i68r = jax.lax.broadcasted_iota(jnp.int32, (6, 8), 0)
+        i68c = jax.lax.broadcasted_iota(jnp.int32, (6, 8), 1)
+        p68 = (
+            ((i68c == i68r) & (i68r < 2))
+            | ((i68c == i68r + 1) & (i68r >= 2) & (i68r < 5))
+        ).astype(jnp.float32)
+        i18 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
+        e6 = (i18 == 6).astype(jnp.float32)
+        e7 = (i18 == 7).astype(jnp.float32)
+        block = (
+            jnp.dot(rec, p68, preferred_element_type=jnp.float32)
+            + jnp.dot(accf, e6, preferred_element_type=jnp.float32)
+            + jnp.dot(scan_lbl, e7, preferred_element_type=jnp.float32)
         )                                             # (S, 8)
         # in-block compaction: accepted rows first (one-hot permute
         # matmul); zero rows past the accepted count carry ok=0/label=0
