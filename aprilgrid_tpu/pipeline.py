@@ -162,6 +162,20 @@ def _extract_cfg() -> dict:
     }
 
 
+def _turbo_tile_h() -> int:
+    """Grid-step height of the turbo front kernel (64 or 128; env
+    ``AG_TILEH``). 128 halves the per-step fixed costs (DMA setup,
+    matmul chunk loops) at the price of rounding the raw pad up to
+    128-row tiles (1080p: 1088 -> 1152 rows, ~6% more dense work; 4K's
+    2176 is already a multiple — pure win there). Default stays 64
+    until the hardware A/B (docs/ROADMAP.md round-4 ledger #1)."""
+    import os
+
+    v = int(os.environ.get("AG_TILEH", "64"))
+    assert v in (64, 128), v
+    return v
+
+
 def saddle_frontend_batch(
     imgs: jnp.ndarray,
     params: DetectorParams,
@@ -328,10 +342,11 @@ def _pallas_decimated_frontend_batch(
     h, w = imgs.shape[1], imgs.shape[2]
     if imgs.ndim == 4 and imgs.shape[3] == 4:
         imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
-    raw_p, th_, tw_, channels, u16 = pad_raw(imgs)
+    tile_h = _turbo_tile_h()
+    raw_p, th_, tw_, channels, u16 = pad_raw(imgs, tile_h=tile_h)
     luma_u8, half_p, tile_min = front_kernel_decimate(
         raw_p, consts.blur_sigma, pre_padded=True, true_shape=(h, w),
-        channels=channels, u16=u16, interpret=interpret,
+        channels=channels, u16=u16, tile_h=tile_h, interpret=interpret,
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
     fields, counts = cluster_rochade_raw(

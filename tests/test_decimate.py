@@ -258,3 +258,48 @@ def test_pallas_turbo_frontend_u16(data_dir):
     test_pallas_turbo_frontend_matches_xla(
         data_dir, "TUM_VI", (416, 512), u16=True
     )
+
+
+@pytest.mark.parametrize(
+    "name,crop",
+    [
+        ("iphone", (416, 640)),    # RGB, 64-and-128-aligned h
+        ("TUM_VI", (417, 513)),    # gray, odd dims (extra pad tile @128)
+        ("TUM_VI", (385, 512)),    # h ≡ 1 mod 128
+    ],
+)
+def test_turbo_frontend_tile_h_128(data_dir, name, crop):
+    """front_kernel_decimate(tile_h=128) (halved per-step fixed costs)
+    is bit-identical to the tile_h=64 kernel: same half plane on the
+    common padded rows, same luma8 on the true rows, same global
+    response minimum."""
+    import jax.numpy as jnp
+
+    from aprilgrid_tpu.pallas.frontend import front_kernel_decimate
+
+    img = np.asarray(Image.open(data_dir / f"{name}.png"))[
+        : crop[0], : crop[1]
+    ]
+    raw = jnp.asarray(img)[None]
+    l8a, halfa, mina = front_kernel_decimate(
+        raw, tile_h=64, interpret=True
+    )
+    l8b, halfb, minb = front_kernel_decimate(
+        raw, tile_h=128, interpret=True
+    )
+    h, w = img.shape[:2]
+    np.testing.assert_array_equal(
+        np.asarray(l8b)[0, :h], np.asarray(l8a)[0, :h]
+    )
+    rows = min(halfa.shape[1], halfb.shape[1])  # taller pad @128 on odd h
+    np.testing.assert_array_equal(
+        np.asarray(halfb)[0, :rows], np.asarray(halfa)[0, :rows]
+    )
+    assert float(jnp.min(minb)) == float(jnp.min(mina))
+
+
+def test_turbo_tile_h_env_e2e(data_dir, monkeypatch):
+    """AG_TILEH=128 routes the whole turbo front-end through the
+    double-height kernel with identical saddles (env-knob e2e parity)."""
+    monkeypatch.setenv("AG_TILEH", "128")
+    test_pallas_turbo_frontend_matches_xla(data_dir, "iphone", (416, 640))
