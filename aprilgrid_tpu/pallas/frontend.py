@@ -282,8 +282,9 @@ def _front_kernel(
     # zero the reference's untouched GLOBAL borders; in sharded windows
     # also zero everything below the local window (rows there may blur
     # into edge-replicated padding that the full frame would not have)
+    # and ABOVE the global frame (shard 0's clamp-replicated context)
     border = (
-        (grow == 0) | (grow >= gh - 1) | (lrow >= h)
+        (grow <= 0) | (grow >= gh - 1) | (lrow >= h)
         | (gcol == 0) | (gcol >= w - 1)
     )
     center = (slice(8, 8 + tile_h), slice(128, 128 + w_pad))
@@ -301,16 +302,18 @@ def _front_kernel(
     min_ref[0, 0] = jnp.full((8, 128), jnp.min(resp_center), jnp.float32)
 
 
-def pad_raw(img: jnp.ndarray):
+def pad_raw(img: jnp.ndarray, tile_h: int = 64):
     """Edge-pad raw frames for the fused kernels: 8 rows above, row/lane
     alignment below/right, channels flattened into lanes. Returns
     (padded (B, Hp+16, Wp*C), h, w, channels, u16) — the SAME padded
     array feeds both front_kernel and cluster_rochade_raw, so the pad is
-    materialized once."""
+    materialized once. ``tile_h=128`` rounds Hp to 128-row tiles for the
+    double-height turbo front-end (extra rows are edge replicas the
+    kernels mask; the cluster/refine consumers only need Hp >= their own
+    window arithmetic, which a larger pad always satisfies)."""
     b, hgt, wid = img.shape[:3]
     channels = img.shape[3] if img.ndim == 4 else 1
     u16 = bool(img.dtype == jnp.uint16)
-    tile_h = 64
     h_pad = -(-hgt // tile_h) * tile_h
     w_pad = -(-wid // 128) * 128
     # 8 edge rows above and >= 8 below so every DMA window is in range
@@ -421,27 +424,33 @@ def front_kernel(
 
 
 @functools.lru_cache(maxsize=None)
-def _decimate_mats() -> tuple[np.ndarray, np.ndarray]:
+def _decimate_mats(hh: int = 40) -> tuple[np.ndarray, np.ndarray]:
     """Selection matrices for the turbo front-end's 2x2-mean decimation:
     ``S`` (256, 128) compacts even lanes of a pair-summed row chunk
-    (S[2j, j] = 1), ``R`` (40, 128; used as (40, 80)) compacts even
-    sublanes (R[t, 2t] = 1). Pure 0/1 selections — the matmuls move
-    values unchanged, so the half plane equals pipeline._decimate2's
-    pairwise sums bit-exactly."""
+    (S[2j, j] = 1), ``R`` (hh, 2*hh) compacts even sublanes
+    (R[t, 2t] = 1; hh = tile_h//2 + 8 half-window rows). Pure 0/1
+    selections — the matmuls move values unchanged, so the half plane
+    equals pipeline._decimate2's pairwise sums bit-exactly."""
     s = np.zeros((256, 128), np.float32)
     for j in range(128):
         s[2 * j, j] = 1.0
-    r = np.zeros((40, 128), np.float32)
-    for t in range(40):
+    r = np.zeros((hh, 2 * hh), np.float32)
+    for t in range(hh):
         r[t, 2 * t] = 1.0
     return s, r
 
 
 def _front_kernel_decimate(
-    mats_ref, sel_ref, rsel_ref, raw_hbm, luma8_ref, half_hbm, min_ref,
-    slab, hstage, lscr, sem, osem, *,
-    taps, tile_h, w, w_pad, h, whp, channels, u16, pad_b,
+    mats_ref, sel_ref, rsel_ref, raw_hbm, *rest,
+    taps, tile_h, w, w_pad, h, whp, channels, u16, pad_b, gh=None,
 ):
+    if gh is not None:
+        (roff_ref, luma8_ref, half_hbm, min_ref,
+         slab, hstage, lscr, sem, osem) = rest
+    else:
+        (luma8_ref, half_hbm, min_ref,
+         slab, hstage, lscr, sem, osem) = rest
+        roff_ref = None
     """Turbo ("decimate") front-end tile: full-res luma8 out, plus a
     HALF-resolution f32 luma plane (2x2 pairwise mean) written in
     pad_raw layout (8 context rows above, edge-replicated padding) with
@@ -449,20 +458,25 @@ def _front_kernel_decimate(
     the cluster kernel then runs UNCHANGED on the half plane (f32 luma
     input mode, cluster.cluster_rochade_raw(luma_f32=True)).
 
-    Per grid step (bi, i): the 80-row raw slab covers full-res luma rows
-    [i*64-8, i*64+72), which decimate to the 40 half rows
-    [i*32-4, i*32+36) — 4 halo rows on each side of the tile's 32-row
-    half band, exactly the blur(3)+hessian(1) support. The half band is
-    DMA'd to output rows [8+i*32, 8+i*32+40/32) (8-aligned); tile 0 also
-    fills the 8 context rows (replicated half row 0) and the last tile
-    the bottom padding (replicated last true half row), so the output is
-    bit-compatible with pad_raw(_decimate2(luma)).
+    Per grid step (bi, i): the (tile_h+16)-row raw slab covers full-res
+    luma rows [i*tile_h-8, i*tile_h+tile_h+8), which decimate to the
+    hh = tile_h//2+8 half rows [i*band-4, i*band+band+4) (band =
+    tile_h//2) — 4 halo rows on each side of the tile's half band,
+    exactly the blur(3)+hessian(1) support. The half band is DMA'd to
+    output rows [8+i*band, ...) (8-aligned); tile 0 also fills the 8
+    context rows (replicated half row 0) and the last tile the bottom
+    padding (replicated last true half row), so the output is
+    bit-compatible with pad_raw(_decimate2(luma)). ``tile_h`` is 64 or
+    128 — 128 halves the per-step fixed costs (DMA setup, matmul chunk
+    loops) at ~2x the slab VMEM.
     """
     bi = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
     rows = tile_h + 16
+    band = tile_h // 2
+    hh = band + 8
     radius = (len(taps) - 1) // 2
     h_half = h // 2
     w_half = w // 2
@@ -540,39 +554,41 @@ def _front_kernel_decimate(
             )
         )
         col += cw
-    half_c = jnp.concatenate(hc_chunks, axis=1)  # (80, hw_c)
+    half_c = jnp.concatenate(hc_chunks, axis=1)  # (rows, hw_c)
     if whp > hw_c:
         half_c = jnp.concatenate(
             [half_c, jnp.repeat(half_c[:, -1:], whp - hw_c, 1)], axis=1
         )
     rsum = half_c + _roll(half_c, -1, 0)  # pair sum at even sublanes
     half40 = (
-        jnp.dot(rsel_ref[:, 0:80], rsum, preferred_element_type=jnp.float32)
+        jnp.dot(
+            rsel_ref[:, 0:rows], rsum, preferred_element_type=jnp.float32
+        )
         * 0.25
-    )  # (40, whp): half rows [i*32-4, i*32+36)
+    )  # (hh, whp): half rows [i*band-4, i*band+band+4)
 
     # --- edge fix-ups so padding replicates the HALF plane's own edges
     # (decimated full-res padding would replicate the last full row/col
     # instead of the last half row/col — off by one half pixel)
-    riota = jax.lax.broadcasted_iota(jnp.int32, (40, whp), 0)
-    ciota = jax.lax.broadcasted_iota(jnp.int32, (40, whp), 1)
+    riota = jax.lax.broadcasted_iota(jnp.int32, (hh, whp), 0)
+    ciota = jax.lax.broadcasted_iota(jnp.int32, (hh, whp), 1)
     # right: cols >= w_half replicate col w_half-1
     rep_c = jnp.repeat(half40[:, w_half - 1 : w_half], whp, axis=1)
     half40 = jnp.where(ciota >= w_half, rep_c, half40)
     # top (tile 0 only): halo rows with global half row < 0 replicate
     # half row 0 (slab row 4)
-    rep_t = jnp.repeat(half40[4:5, :], 40, axis=0)
+    rep_t = jnp.repeat(half40[4:5, :], hh, axis=0)
     half40 = jnp.where(jnp.logical_and(i == 0, riota < 4), rep_t, half40)
     # bottom: rows with global half row > h_half-1 replicate row h_half-1
     # (dynamic row extraction via masked max — Mosaic has no dynamic
     # value slicing)
-    rb = h_half + 3 - i * 32  # slab row of global half row h_half-1
+    rb = h_half + 3 - i * band  # slab row of global half row h_half-1
     rep_b0 = jnp.max(
-        jnp.where(riota == jnp.clip(rb, 0, 39), half40, -jnp.inf),
+        jnp.where(riota == jnp.clip(rb, 0, hh - 1), half40, -jnp.inf),
         axis=0,
         keepdims=True,
     )
-    rep_b = jnp.repeat(rep_b0, 40, axis=0)
+    rep_b = jnp.repeat(rep_b0, hh, axis=0)
     half40 = jnp.where(riota > rb, rep_b, half40)
 
     # --- half-res blur + Hessian for the response tile minimum
@@ -600,35 +616,48 @@ def _front_kernel_decimate(
     lxx = left - 2.0 * blur + right
     lyy = up - 2.0 * blur + down
     lxy = (ur - ul + dl - dr) * 0.25
-    resp = (lxx * lyy - lxy * lxy)[4:36, 128 : 128 + whp]
-    ghr = i * 32 + jax.lax.broadcasted_iota(jnp.int32, (32, whp), 0)
-    gcol = jax.lax.broadcasted_iota(jnp.int32, (32, whp), 1)
+    resp = (lxx * lyy - lxy * lxy)[4 : 4 + band, 128 : 128 + whp]
+    lhr = i * band + jax.lax.broadcasted_iota(jnp.int32, (band, whp), 0)
+    # global half row: sharded windows of a taller frame offset by
+    # roff_ref (negative on the claim-context rows above the band)
+    ghr = lhr if roff_ref is None else lhr + roff_ref[bi, 0]
+    ghh = h_half if gh is None else gh
+    gcol = jax.lax.broadcasted_iota(jnp.int32, (band, whp), 1)
     border = (
-        (ghr == 0) | (ghr >= h_half - 1) | (gcol == 0) | (gcol >= w_half - 1)
+        (ghr <= 0) | (ghr >= ghh - 1) | (lhr >= h_half)
+        | (gcol == 0) | (gcol >= w_half - 1)
     )
+    if gh is not None:
+        # sharded windows: the outer 4 local half rows blur into the
+        # window's own replicated padding — their responses are owned by
+        # the neighbor shard's interior (parallel/sharding.py coverage)
+        border = border | (lhr < 4) | (lhr >= h_half - 4)
     min_ref[0, 0] = jnp.full(
         (8, 128), jnp.min(jnp.where(border, 0.0, resp)), jnp.float32
     )
 
     # --- stage + DMA the half band into the pad_raw-layout output.
-    # hstage rows 4..44 hold half40; the center band [8, 40) is 8-aligned
-    hstage[4:44, :] = half40
+    # hstage rows 4..4+hh hold half40; the center band [8, 8+band) is
+    # 8-aligned
+    hstage[4 : 4 + hh, :] = half40
 
     @pl.when(i == 0)
     def _():
         hstage[0:4, :] = rep_t[0:4, :]
         cp = pltpu.make_async_copy(
-            hstage.at[pl.ds(0, 40)], half_hbm.at[bi, pl.ds(0, 40), :], osem
+            hstage.at[pl.ds(0, 8 + band)],
+            half_hbm.at[bi, pl.ds(0, 8 + band), :],
+            osem,
         )
         cp.start()
         cp.wait()
 
     @pl.when(i > 0)
     def _():
-        dst = pl.multiple_of(8 + i * 32, 8)
+        dst = pl.multiple_of(8 + i * band, 8)
         cp = pltpu.make_async_copy(
-            hstage.at[pl.ds(8, 32)],
-            half_hbm.at[bi, pl.ds(dst, 32), :],
+            hstage.at[pl.ds(8, band)],
+            half_hbm.at[bi, pl.ds(dst, band), :],
             osem,
         )
         cp.start()
@@ -638,10 +667,10 @@ def _front_kernel_decimate(
 
         @pl.when(last_t)
         def _():
-            hstage[40 : 40 + pad_b, :] = rep_b[0:pad_b, :]
+            hstage[8 + band : 8 + band + pad_b, :] = rep_b[0:pad_b, :]
             cp = pltpu.make_async_copy(
-                hstage.at[pl.ds(40, pad_b)],
-                half_hbm.at[bi, pl.ds(8 + nt * 32, pad_b), :],
+                hstage.at[pl.ds(8 + band, pad_b)],
+                half_hbm.at[bi, pl.ds(8 + nt * band, pad_b), :],
                 osem,
             )
             cp.start()
@@ -652,6 +681,7 @@ def _front_kernel_decimate(
     jax.jit,
     static_argnames=(
         "sigma", "interpret", "pre_padded", "true_shape", "channels", "u16",
+        "tile_h", "global_h",
     ),
 )
 def front_kernel_decimate(
@@ -662,6 +692,9 @@ def front_kernel_decimate(
     true_shape: tuple[int, int] | None = None,
     channels: int | None = None,
     u16: bool | None = None,
+    tile_h: int = 64,
+    row_off: jnp.ndarray | None = None,  # (B,) int32 HALF-res row offsets
+    global_h: int | None = None,         # HALF-res global frame height
 ):
     """Turbo front-end: (B, H, W[, 3]) u8/u16 raw frames -> (luma_u8
     (B, Hp, Wp) u8, half_p (B, H//2 padded + 16, W//2 padded) f32,
@@ -672,48 +705,67 @@ def front_kernel_decimate(
     straight to ``cluster.cluster_rochade_raw(..., luma_f32=True)``;
     ``tile_min`` holds the HALF-resolution Hessian response minima (the
     turbo clustering threshold). Bit-identical to
-    ``pad_raw(_decimate2(to_luma(img)))`` + the XLA response min."""
+    ``pad_raw(_decimate2(to_luma(img)))`` + the XLA response min.
+
+    ``tile_h`` (64 or 128) is the full-res rows per grid step; 128
+    halves the per-step fixed costs. ``pre_padded`` inputs must come
+    from ``pad_raw(img, tile_h=tile_h)`` (Hp a tile_h multiple).
+
+    ``row_off``/``global_h`` (both in HALF-res rows): border zeroing for
+    row-sharded windows of a taller frame tests GLOBAL half rows (see
+    parallel/sharding.py's turbo front-end)."""
     if pre_padded:
         hgt, wid = true_shape
     else:
-        img, hgt, wid, channels, u16 = pad_raw(img)
+        img, hgt, wid, channels, u16 = pad_raw(img, tile_h=tile_h)
     b = img.shape[0]
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
-    tile_h = 64
+    assert tile_h in (64, 128)
+    band = tile_h // 2
+    hh = band + 8
     h_pad = img.shape[1] - 16
+    assert h_pad % tile_h == 0, (h_pad, tile_h)
     w_pad = img.shape[2] // channels
     nt = h_pad // tile_h
     h_half = hgt // 2
     whp = -(-(wid // 2) // 128) * 128
     # padded half height: at least the usual 64-row alignment, but also
-    # tall enough that every tile's 32-half-row DMA band fits (for
-    # h ≡ 1 mod 128 the grid covers up to 24 rows past the 64-aligned
-    # pad; the extra rows hold edge replicas and are masked downstream)
-    h_half_pad = max(-(-h_half // 64) * 64, nt * 32 - 8)
-    pad_b = h_half_pad + 8 - nt * 32
-    assert 0 <= pad_b <= 40 and h_half_pad % 8 == 0, (
+    # tall enough that every tile's band-row DMA fits (the grid can
+    # cover rows past the 64-aligned pad; the extra rows hold edge
+    # replicas and are masked downstream)
+    h_half_pad = max(-(-h_half // 64) * 64, nt * band - 8)
+    pad_b = h_half_pad + 8 - nt * band
+    assert 0 <= pad_b <= hh and h_half_pad % 8 == 0, (
         hgt, h_pad, h_half_pad, pad_b
     )
 
     mf, mi = _deinterleave_chunk(128)
     mats = jnp.asarray(np.concatenate([mf, mi], axis=1))
-    sel_np, rsel_np = _decimate_mats()
+    sel_np, rsel_np = _decimate_mats(hh)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),
+    ]
+    args = [mats, jnp.asarray(sel_np), jnp.asarray(rsel_np), img]
+    if global_h is not None:
+        if row_off is None:
+            row_off = jnp.zeros((b,), jnp.int32)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(row_off.astype(jnp.int32).reshape(b, 1))
 
     grid = (b, nt)
     luma8, half_p, tile_min = pl.pallas_call(
         functools.partial(
             _front_kernel_decimate, taps=taps, tile_h=tile_h, w=wid,
             w_pad=w_pad, h=hgt, whp=whp, channels=channels, u16=u16,
-            pad_b=pad_b,
+            pad_b=pad_b, gh=global_h,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec(
                 (1, tile_h, w_pad), lambda bi, i: (bi, i, 0),
@@ -732,13 +784,13 @@ def front_kernel_decimate(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tile_h + 16, w_pad * channels), img.dtype),
-            pltpu.VMEM((88, whp), jnp.float32),
-            pltpu.VMEM((40, whp + 256), jnp.float32),
+            pltpu.VMEM((-(-(8 + band + hh) // 8) * 8, whp), jnp.float32),
+            pltpu.VMEM((hh, whp + 256), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
-    )(mats, jnp.asarray(sel_np), jnp.asarray(rsel_np), img)
+    )(*args)
     return luma8, half_p, tile_min
 
 

@@ -351,6 +351,211 @@ def saddle_frontend_rows_sharded_pallas(
     return jax.jit(fn)
 
 
+def saddle_frontend_rows_sharded_pallas_turbo(
+    mesh: Mesh,
+    params,
+    consts,
+    caps,
+    axis: str = "sp",
+    interpret: bool = False,
+):
+    """Row-sharded TURBO ("decimate") saddle front-end on the production
+    Pallas kernels: half-res detect + full-res re-refine, spread over the
+    ``axis`` chips — multi-chip 4K latency scaling for the approximate
+    mode (single-chip path: pipeline._pallas_decimated_frontend_batch).
+
+    Per shard: the raw row band plus a ring halo (``ppermute`` over ICI)
+    is decimated in-kernel (``front_kernel_decimate`` with global-frame
+    half-res border gates), the cluster/ROCHADE kernel runs on the local
+    half plane with GLOBAL half-res gates (``row_off``/``global_h``), and
+    blob claims keep only roots whose half row lands in the shard's band
+    (48 half rows of context = the kernel's own blob cap, full claim
+    visibility). Candidate labels are rewritten to global half-res scan
+    indices, the per-shard sets ``all_gather``-ed (shard order = global
+    scan order) and compacted — bit-identical to the single-chip turbo
+    half-res stage. The FULL-res re-refine is then sharded by ownership:
+    each shard refines the compacted candidates whose refine center lies
+    in its own row band (owned-prefix compaction feeds the slot-aligned
+    ``sparse_refine_raw`` kernel on the local raw window), results are
+    scattered back to their global slots and ``psum``-combined (bands
+    partition [0, H) — exactly one owner per candidate), then re-gated
+    globally. Returns a jitted ``raw (H, W) u8/u16 -> Saddles`` (global
+    full-res coordinates, replicated). H must divide by the axis size
+    into EVEN bands of >= 104 rows."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..ops.geometry import rust_round
+    from ..ops.rochade import Saddles
+    from ..pallas.cluster import (
+        cluster_rochade_raw,
+        saddles_from_candidates,
+    )
+    from ..pallas.frontend import front_kernel_decimate
+    from ..pallas.refine import sparse_refine_raw
+
+    n = mesh.shape[axis]
+    ctx_h = 48            # half-res claim context: the kernel's blob cap
+    ctx = 2 * ctx_h       # full-res context rows
+    halo = ctx + 8        # + decimation/blur/DMA support rows
+    hp2 = 2 * consts.rochade_half_patch
+
+    def local(raw_tile):
+        hs, wt = raw_tile.shape
+        assert hs % 8 == 0, (
+            "per-shard bands must be 8-row multiples (even 2x2 decimation "
+            "bands AND band offsets that preserve the refine kernel's "
+            "8-aligned window starts vs the single-chip run)"
+        )
+        assert hs >= halo, f"per-shard band ({hs}) must cover the halo ({halo})"
+        H = hs * n
+        hh_g = H // 2
+        w_half = wt // 2
+        assert hh_g * w_half < 2**24, (
+            "global half-res scan indices must stay f32-exact"
+        )
+        r0 = lax.axis_index(axis) * hs
+        u16 = bool(raw_tile.dtype == jnp.uint16)
+
+        wp = -(-wt // 128) * 128
+        if wp != wt:
+            raw_tile = jnp.concatenate(
+                [raw_tile, jnp.repeat(raw_tile[:, -1:], wp - wt, axis=1)],
+                axis=1,
+            )
+        ext = _halo_exchange_rows(raw_tile, halo, axis)  # [r0-104, r0+hs+104)
+        local_h = hs + 2 * ctx
+        h_pad_l = -(-local_h // 64) * 64
+        need = h_pad_l + 16  # 8 rows above the local window + pad below
+        slack = need - ext.shape[0]
+        if slack > 0:
+            ext = jnp.concatenate(
+                [ext, jnp.repeat(ext[-1:], slack, axis=0)], axis=0
+            )
+        raw_loc = ext[:need][None]  # (1, h_pad_l + 16, wp), pad_raw layout
+        roff_h = (r0 // 2 - ctx_h).astype(jnp.int32)[None]
+
+        # decimate input: on the EDGE shards the clamp-replicated halo
+        # decimates to horizontal-pair means of the edge FULL row, but
+        # the single-chip half plane pads with replicas of the edge HALF
+        # row (= the vertical pair mean). Tiling the two edge rows
+        # alternately makes every padded 2x2 mean equal the edge half
+        # row exactly, restoring bit-parity near the global top/bottom.
+        idx = lax.axis_index(axis)
+        jj = ((halo - jnp.arange(halo)) % 2)[:, None]  # row -k = row (k%2==1)
+        alt_top = jnp.where(jj == 1, raw_tile[1:2], raw_tile[0:1])
+        jb = (jnp.arange(ext.shape[0] - halo - hs) % 2)[:, None]
+        alt_bot = jnp.where(
+            jb == 1, raw_tile[hs - 1 : hs], raw_tile[hs - 2 : hs - 1]
+        )
+        ext_half = jnp.concatenate(
+            [
+                jnp.where(idx == 0, alt_top, ext[:halo]),
+                raw_tile,
+                jnp.where(idx == n - 1, alt_bot, ext[halo + hs :]),
+            ],
+            axis=0,
+        )
+        raw_loc_half = ext_half[:need][None]
+
+        _l8, half_p, tile_min = front_kernel_decimate(
+            raw_loc_half, consts.blur_sigma, interpret=interpret,
+            pre_padded=True, true_shape=(local_h, wt), channels=1, u16=u16,
+            row_off=roff_h, global_h=hh_g,
+        )
+        thr = lax.pmin(jnp.min(tile_min), axis) * consts.response_threshold_ratio
+        from ..pipeline import _extract_cfg
+
+        fields, _counts = cluster_rochade_raw(
+            half_p, thr[None], h=local_h // 2, w=w_half,
+            channels=1, u16=False, luma_f32=True,
+            # same approximations as the single-chip turbo path
+            prefilter=True, win=160,
+            sigma=consts.blur_sigma, hp2=hp2,
+            move_thr=consts.rochade_move_threshold,
+            **_extract_cfg(),
+            interpret=interpret,
+            row_off=roff_h, global_h=hh_g,
+        )
+        f = fields[0]  # (capf, 8)
+        lab = f[:, 7].astype(jnp.int32) - 1          # local half scan index
+        root_row = lab // w_half
+        keep = (
+            (f[:, 6] > 0.5)
+            & (root_row >= ctx_h)
+            & (root_row < ctx_h + hs // 2)
+        )
+        glab = (lab + (r0 // 2 - ctx_h) * w_half).astype(jnp.float32)
+        f = jnp.concatenate(
+            [
+                f[:, :6],
+                jnp.where(keep, 1.0, 0.0)[:, None],
+                jnp.where(keep, glab + 1.0, 0.0)[:, None],
+            ],
+            axis=1,
+        )
+        gathered = lax.all_gather(f, axis, tiled=True)  # (n*capf, 8)
+        half_s = filter_and_compact(
+            saddles_from_candidates(gathered),
+            caps.max_saddles,
+            consts.saddle_k_ratio,
+            params.min_saddle_angle,
+            params.max_saddle_angle,
+        )
+
+        # --- sharded full-res re-refine by band ownership
+        pf = half_s.p * 2.0 + 0.5               # global full-res centers
+        ry_g = rust_round(pf[:, 1]).astype(jnp.int32)
+        rx_g = rust_round(pf[:, 0]).astype(jnp.int32)
+        r0f = r0.astype(jnp.float32)
+        owned = half_s.valid & (pf[:, 1] >= r0f) & (pf[:, 1] < r0f + hs)
+        # owned-prefix compaction: the refine kernel walks the leading
+        # sum(valid) slots
+        order = jnp.argsort(jnp.where(owned, 0, 1), stable=True)
+        inv = jnp.argsort(order, stable=True)
+        off = jnp.stack(
+            [jnp.float32(0.0), (r0 - ctx).astype(jnp.float32)]
+        )  # global -> local window coords (x unchanged)
+        ref = sparse_refine_raw(
+            raw_loc, (pf - off)[order][None], owned[order][None],
+            h=local_h, w=wt, channels=1, u16=u16,
+            sigma=consts.blur_sigma, hp2=hp2,
+            move_thr=consts.rochade_move_threshold, interpret=interpret,
+        )
+        # back to global slots/coords; re-gate against the GLOBAL frame
+        # (local bounds are vacuous: owned centers sit >= ctx rows from
+        # the local window edges)
+        in_b = (
+            (ry_g - hp2 >= 0) & (ry_g + hp2 < H)
+            & (rx_g - hp2 >= 0) & (rx_g + hp2 < wt)
+        )
+        vf = (ref.valid[0][inv] & owned & in_b).astype(jnp.float32)
+        p = lax.psum((ref.p[0][inv] + off) * vf[:, None], axis)
+        k = lax.psum(ref.k[0][inv] * vf, axis)
+        theta = lax.psum(ref.theta[0][inv] * vf, axis)
+        phi = lax.psum(ref.phi[0][inv] * vf, axis)
+        refined = Saddles(
+            p=p, k=k, theta=theta, phi=phi, valid=lax.psum(vf, axis) > 0.5
+        )
+        return filter_and_compact(
+            refined,
+            caps.max_saddles,
+            consts.saddle_k_ratio,
+            params.min_saddle_angle,
+            params.max_saddle_angle,
+        )
+
+    from ..ops.rochade import Saddles as _S
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(axis, None),
+        out_specs=_S(p=P(), k=P(), theta=P(), phi=P(), valid=P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
 def frontend_rows_sharded(mesh: Mesh, sigma: float = 1.5, axis: str = "sp"):
     """Row-sharded blur + Hessian response with ICI halo exchange.
 

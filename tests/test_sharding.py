@@ -174,6 +174,44 @@ def test_pallas_sharded_saddle_frontend_matches_single_chip(src, data_dir):
     )
 
 
+def test_pallas_sharded_turbo_frontend_matches_single_chip(data_dir):
+    """Row-sharded TURBO (decimate) front-end — half-res Pallas detect
+    with global gates + ownership-sharded full-res re-refine — must be
+    slot-identical to the single-chip turbo path (interpret mode on the
+    CPU mesh; ROADMAP round-4 candidate: multi-chip 4K turbo latency
+    scaling)."""
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DetectorParams
+    from aprilgrid_tpu.oracle.numpy_ref import load_image
+    from aprilgrid_tpu.parallel.sharding import (
+        saddle_frontend_rows_sharded_pallas_turbo,
+    )
+    from aprilgrid_tpu.pipeline import _pallas_decimated_frontend_batch
+
+    img = load_image(str(data_dir / "EuRoC.png"))  # 480x752 u8
+    params, consts, caps = DetectorParams(), CONSTANTS, DEFAULT_CAPACITIES
+
+    ref_s, _luma = _pallas_decimated_frontend_batch(
+        jnp.asarray(img)[None], params, consts, caps,
+        with_counters=False, interpret=True,
+    )
+    ref = jax.tree.map(lambda a: np.asarray(a[0]), ref_s)
+
+    mesh = make_mesh({"sp": 2})
+    fn = saddle_frontend_rows_sharded_pallas_turbo(
+        mesh, params, consts, caps, "sp", interpret=True
+    )
+    got = jax.tree.map(np.asarray, fn(jnp.asarray(img)))
+
+    # compaction order is global on both paths: compare SLOT-aligned
+    assert ref.valid.sum() > 40, "scene too sparse to be a real check"
+    np.testing.assert_array_equal(got.valid, ref.valid)
+    v = ref.valid
+    np.testing.assert_allclose(got.p[v], ref.p[v], atol=1e-5)
+    np.testing.assert_allclose(got.k[v], ref.k[v], atol=1e-6)
+    np.testing.assert_allclose(got.theta[v], ref.theta[v], atol=1e-5)
+    np.testing.assert_allclose(got.phi[v], ref.phi[v], atol=1e-5)
+
+
 def test_pipeline_parallel_matches_hybrid(data_dir):
     """Two-stage inter-chip pipeline (front-end chip / decode chip) must
     be result-identical to the single-device hybrid path (SURVEY 2c PP
