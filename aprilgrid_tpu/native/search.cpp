@@ -165,6 +165,10 @@ struct SpatialGrid {
   int nx = 1, ny = 1;
   std::vector<int> starts;   // CSR layout: cell -> [starts[c], starts[c+1])
   std::vector<int> items;
+  // grid-ordered coordinate copies (SoA): the NN scans walk cells in
+  // CSR order, so contiguous sx/sy loads replace the scattered
+  // saddles[items[ii]] AoS loads that dominated pass-2 profiles
+  std::vector<float> sx, sy;
   const std::vector<Saddle>* pts = nullptr;
 
   // cell_mult scales the density-derived cell size: 1.0 suits the
@@ -196,6 +200,12 @@ struct SpatialGrid {
     std::vector<int> cursor(starts.begin(), starts.end() - 1);
     for (int i = 0; i < n; ++i)
       items[cursor[cell_of(saddles[i].x, saddles[i].y)]++] = i;
+    sx.resize(n);
+    sy.resize(n);
+    for (int ii = 0; ii < n; ++ii) {
+      sx[ii] = saddles[items[ii]].x;
+      sy[ii] = saddles[items[ii]].y;
+    }
   }
 
   size_t cell_of(float x, float y) const {
@@ -244,29 +254,29 @@ struct SpatialGrid {
     // dominated the whole host search (gprof: 76% in the cell visitor)
     int max_ring =
         std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
-    auto scan_cell = [&](int gx, int gy) {
-      size_t c = (size_t)gy * nx + gx;
-      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
-        int i = items[ii];
-        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
-        out.emplace_back(dx * dx + dy * dy, i);
+    auto scan_row = [&](int gx0, int gx1, int gy) {
+      size_t c0 = (size_t)gy * nx + gx0;
+      size_t c1 = (size_t)gy * nx + gx1;
+      for (int ii = starts[c0]; ii < starts[c1 + 1]; ++ii) {
+        float dx = sx[ii] - qx, dy = sy[ii] - qy;
+        out.emplace_back(dx * dx + dy * dy, items[ii]);
       }
     };
     for (int ring = 0; ring <= max_ring; ++ring) {
       int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
       int ya = cy - ring, yb = cy + ring;
       if (ring == 0) {
-        scan_cell(cx, cy);
+        scan_row(cx, cx, cy);
       } else {
-        if (ya >= 0)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);  // top row
-        if (yb < ny)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);  // bottom
+        if (ya >= 0) scan_row(xa, xb, ya);  // top row
+        if (yb < ny) scan_row(xa, xb, yb);  // bottom
         int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
         if (cx - ring >= 0)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx - ring, cx - ring, gy);
         if (cx + ring < nx)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx + ring, cx + ring, gy);
       }
       if ((int)out.size() >= total) break;  // every point collected
       if ((int)out.size() >= k) {
@@ -286,7 +296,6 @@ struct SpatialGrid {
 
   void knn_small(float qx, float qy, int k,
                  std::vector<std::pair<float, int>>& out) const {
-    const auto& saddles = *pts;
     const int total = (int)items.size();
     float bd[4] = {1e30f, 1e30f, 1e30f, 1e30f};
     int bi[4] = {-1, -1, -1, -1};
@@ -297,14 +306,15 @@ struct SpatialGrid {
     // stored point has been visited (k may exceed the alive count)
     int max_ring =
         std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
-    auto scan_cell = [&](int gx, int gy) {
-      size_t c = (size_t)gy * nx + gx;
-      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
-        int i = items[ii];
-        ++visited;
-        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+    // contiguous CSR span scan (same visit order as the cell-by-cell
+    // walk, so insertion ties break identically)
+    auto scan_span = [&](int i0, int i1) {
+      visited += i1 - i0;
+      for (int ii = i0; ii < i1; ++ii) {
+        float dx = sx[ii] - qx, dy = sy[ii] - qy;
         float d = dx * dx + dy * dy;
         if (n0 == k && d >= bd[k - 1]) continue;
+        int i = items[ii];
         int j = std::min(n0, k - 1);
         while (j > 0 && bd[j - 1] > d) {
           bd[j] = bd[j - 1];
@@ -316,21 +326,27 @@ struct SpatialGrid {
         if (n0 < k) ++n0;
       }
     };
+    // a ring ROW [xa, xb] x {gy} is ONE contiguous CSR span
+    auto scan_row = [&](int gx0, int gx1, int gy) {
+      size_t c0 = (size_t)gy * nx + gx0;
+      size_t c1 = (size_t)gy * nx + gx1;
+      scan_span(starts[c0], starts[c1 + 1]);
+    };
     for (int ring = 0; ring <= max_ring; ++ring) {
       int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
       int ya = cy - ring, yb = cy + ring;
       if (ring == 0) {
-        scan_cell(cx, cy);
+        scan_row(cx, cx, cy);
       } else {
-        if (ya >= 0)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);
-        if (yb < ny)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);
+        if (ya >= 0) scan_row(xa, xb, ya);
+        if (yb < ny) scan_row(xa, xb, yb);
         int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
         if (cx - ring >= 0)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx - ring, cx - ring, gy);
         if (cx + ring < nx)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx + ring, cx + ring, gy);
       }
       if (visited >= total) break;
       if (n0 == k && ring >= 1) {
@@ -351,7 +367,6 @@ struct SpatialGrid {
   // no-board pass-2 search).
   void knn_radius(float qx, float qy, int k, float r2,
                   std::vector<std::pair<float, int>>& out) const {
-    const auto& saddles = *pts;
     const int total = (int)items.size();
     float bd[4] = {1e30f, 1e30f, 1e30f, 1e30f};
     int bi[4] = {-1, -1, -1, -1};
@@ -360,15 +375,14 @@ struct SpatialGrid {
     int cy = std::clamp((int)((qy - y0) * inv_cell), 0, ny - 1);
     int max_ring =
         std::max(std::max(cx, nx - 1 - cx), std::max(cy, ny - 1 - cy));
-    auto scan_cell = [&](int gx, int gy) {
-      size_t c = (size_t)gy * nx + gx;
-      for (int ii = starts[c]; ii < starts[c + 1]; ++ii) {
-        int i = items[ii];
-        ++visited;
-        float dx = saddles[i].x - qx, dy = saddles[i].y - qy;
+    auto scan_span = [&](int i0, int i1) {
+      visited += i1 - i0;
+      for (int ii = i0; ii < i1; ++ii) {
+        float dx = sx[ii] - qx, dy = sy[ii] - qy;
         float d = dx * dx + dy * dy;
         if (d > r2) continue;  // the caller would drop it anyway
         if (n0 == k && d >= bd[k - 1]) continue;
+        int i = items[ii];
         int j = std::min(n0, k - 1);
         while (j > 0 && bd[j - 1] > d) {
           bd[j] = bd[j - 1];
@@ -380,21 +394,26 @@ struct SpatialGrid {
         if (n0 < k) ++n0;
       }
     };
+    auto scan_row = [&](int gx0, int gx1, int gy) {
+      size_t c0 = (size_t)gy * nx + gx0;
+      size_t c1 = (size_t)gy * nx + gx1;
+      scan_span(starts[c0], starts[c1 + 1]);
+    };
     for (int ring = 0; ring <= max_ring; ++ring) {
       int xa = std::max(cx - ring, 0), xb = std::min(cx + ring, nx - 1);
       int ya = cy - ring, yb = cy + ring;
       if (ring == 0) {
-        scan_cell(cx, cy);
+        scan_row(cx, cx, cy);
       } else {
-        if (ya >= 0)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, ya);
-        if (yb < ny)
-          for (int gx = xa; gx <= xb; ++gx) scan_cell(gx, yb);
+        if (ya >= 0) scan_row(xa, xb, ya);
+        if (yb < ny) scan_row(xa, xb, yb);
         int gy0 = std::max(ya + 1, 0), gy1 = std::min(yb - 1, ny - 1);
         if (cx - ring >= 0)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx - ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx - ring, cx - ring, gy);
         if (cx + ring < nx)
-          for (int gy = gy0; gy <= gy1; ++gy) scan_cell(cx + ring, gy);
+          for (int gy = gy0; gy <= gy1; ++gy)
+            scan_row(cx + ring, cx + ring, gy);
       }
       if (visited >= total) break;
       // any unvisited point is farther than (ring-1) cells; stop once
