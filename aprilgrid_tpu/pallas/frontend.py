@@ -331,7 +331,7 @@ def pad_raw(img: jnp.ndarray, tile_h: int = 64):
     jax.jit,
     static_argnames=(
         "sigma", "interpret", "emit_blur", "pre_padded", "true_shape",
-        "channels", "u16", "global_h",
+        "channels", "u16", "global_h", "tile_h",
     ),
 )
 def front_kernel(
@@ -345,6 +345,7 @@ def front_kernel(
     u16: bool | None = None,
     row_off: jnp.ndarray | None = None,  # (B,) int32 global row offsets
     global_h: int | None = None,
+    tile_h: int = 64,
 ):
     """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
     luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
@@ -356,16 +357,20 @@ def front_kernel(
     frames itself. ``pre_padded=True`` takes a pad_raw() output plus
     true_shape/channels/u16 instead of raw frames. ``row_off``/
     ``global_h``: border zeroing for row-sharded windows of a taller
-    frame (see parallel/sharding.py) tests GLOBAL rows."""
+    frame (see parallel/sharding.py) tests GLOBAL rows. ``tile_h`` (64
+    or 128) is the rows per grid step — 128 halves the per-step fixed
+    costs (DMA setup, gray matmul chunk loops) at ~2x slab VMEM;
+    ``pre_padded`` inputs must come from ``pad_raw(img, tile_h)``."""
     if pre_padded:
         hgt, wid = true_shape
     else:
-        img, hgt, wid, channels, u16 = pad_raw(img)
+        img, hgt, wid, channels, u16 = pad_raw(img, tile_h=tile_h)
     b = img.shape[0]
     taps = tuple(float(v) for v in gaussian_kernel(sigma))
     assert len(taps) == 7, "kernel tuned for sigma<=1.5 (radius 3)"
-    tile_h = 64
+    assert tile_h in (64, 128)
     h_pad = img.shape[1] - 16
+    assert h_pad % tile_h == 0, (h_pad, tile_h)
     w_pad = img.shape[2] // channels
 
     mf, mi = _deinterleave_chunk(128)

@@ -162,12 +162,12 @@ def _extract_cfg() -> dict:
     }
 
 
-def _turbo_tile_h() -> int:
-    """Grid-step height of the turbo front kernel (64 or 128; env
-    ``AG_TILEH``). 128 halves the per-step fixed costs (DMA setup,
-    matmul chunk loops) at the price of rounding the raw pad up to
-    128-row tiles (1080p: 1088 -> 1152 rows, ~6% more dense work; 4K's
-    2176 is already a multiple — pure win there). Default stays 64
+def _front_tile_h() -> int:
+    """Grid-step height of the front kernels — exact AND turbo — (64 or
+    128; env ``AG_TILEH``). 128 halves the per-step fixed costs (DMA
+    setup, matmul chunk loops) at the price of rounding the raw pad up
+    to 128-row tiles (1080p: 1088 -> 1152 rows, ~6% more dense work;
+    4K's 2176 is already a multiple — pure win there). Default stays 64
     until the hardware A/B (docs/ROADMAP.md round-4 ledger #1)."""
     import os
 
@@ -232,10 +232,11 @@ def saddle_frontend_batch(
         # gray+blur in-window. Neither the f32 luma nor the f32 blur
         # plane ever exists in HBM (~2.5x less DMA than the unfused
         # pair); luma8 stays padded (decode gates on the true size)
-        raw_p, th_, tw_, channels, u16 = pad_raw(imgs)
+        tile_h = _front_tile_h()
+        raw_p, th_, tw_, channels, u16 = pad_raw(imgs, tile_h=tile_h)
         luma_u8, tile_min = front_kernel(
             raw_p, consts.blur_sigma, emit_blur=False, pre_padded=True,
-            true_shape=(h, w), channels=channels, u16=u16,
+            true_shape=(h, w), channels=channels, u16=u16, tile_h=tile_h,
         )
         # threshold = ratio * global response minimum (the only cross-
         # window dependency; src/detector.rs:414-418) — window skipping
@@ -342,7 +343,7 @@ def _pallas_decimated_frontend_batch(
     h, w = imgs.shape[1], imgs.shape[2]
     if imgs.ndim == 4 and imgs.shape[3] == 4:
         imgs = imgs[..., :3]  # alpha is ignored (ops/gray.py semantics)
-    tile_h = _turbo_tile_h()
+    tile_h = _front_tile_h()
     raw_p, th_, tw_, channels, u16 = pad_raw(imgs, tile_h=tile_h)
     luma_u8, half_p, tile_min = front_kernel_decimate(
         raw_p, consts.blur_sigma, pre_padded=True, true_shape=(h, w),

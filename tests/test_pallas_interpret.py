@@ -65,6 +65,75 @@ def test_front_kernel_matches_split_kernels(euroc, data_dir):
         )
 
 
+def test_front_kernel_tile_h_128_matches_64(data_dir):
+    """The exact front kernel at tile_h=128 (env AG_TILEH A/B) must be
+    bit-identical to tile_h=64 on the true rows: same luma8, same
+    response minimum (the extra pad rows are masked edge replicas)."""
+    from aprilgrid_tpu.pallas.frontend import front_kernel, pad_raw
+
+    for name in ("EuRoC", "two_boards"):  # u8-gray odd-height + RGB 1080p
+        img = R.load_image(str(data_dir / f"{name}.png"))
+        h, w = img.shape[:2]
+        raw = jnp.asarray(img)[None]
+        l8a, tmina = front_kernel(raw, 1.5, interpret=True, emit_blur=False)
+        raw_p, _h, _w, channels, u16 = pad_raw(raw, tile_h=128)
+        l8b, tminb = front_kernel(
+            raw_p, 1.5, interpret=True, emit_blur=False, pre_padded=True,
+            true_shape=(h, w), channels=channels, u16=u16, tile_h=128,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(l8a)[0, :h, :w], np.asarray(l8b)[0, :h, :w]
+        )
+        np.testing.assert_array_equal(
+            np.min(np.asarray(tmina)), np.min(np.asarray(tminb))
+        )
+
+
+def test_exact_front_tile_h_128_cluster_parity(data_dir):
+    """The EXACT Pallas front path on a 128-row pad (AG_TILEH=128:
+    pad_raw rounds 64-pads up, adding a replica band at the bottom)
+    must produce the same compacted saddles as the 64-row pad — the
+    cluster kernel's true-size gates must reject the extra pad rows."""
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DEFAULT_PARAMS
+    from aprilgrid_tpu.ops.rochade import filter_and_compact
+    from aprilgrid_tpu.pallas.cluster import (
+        cluster_rochade_raw,
+        saddles_from_candidates,
+    )
+    from aprilgrid_tpu.pallas.frontend import front_kernel, pad_raw
+
+    # 260 rows: 64-pad -> 320, 128-pad -> 384 (the pads must DIFFER for
+    # this test to mean anything); the crop holds ~85 oracle saddles
+    img = R.load_image(str(data_dir / "two_boards.png"))[300:560, :768]
+    h, w = img.shape[:2]
+    outs = []
+    for tile_h in (64, 128):
+        raw_p, _h, _w, channels, u16 = pad_raw(
+            jnp.asarray(img)[None], tile_h=tile_h
+        )
+        l8, tmin = front_kernel(
+            raw_p, 1.5, interpret=True, emit_blur=False, pre_padded=True,
+            true_shape=(h, w), channels=channels, u16=u16, tile_h=tile_h,
+        )
+        thr = jnp.min(tmin, axis=(1, 2, 3)) * CONSTANTS.response_threshold_ratio
+        fields, _ = cluster_rochade_raw(
+            raw_p, thr, h, w, channels=channels, u16=u16, interpret=True
+        )
+        s = filter_and_compact(
+            saddles_from_candidates(fields[0]),
+            DEFAULT_CAPACITIES.max_saddles,
+            CONSTANTS.saddle_k_ratio,
+            DEFAULT_PARAMS.min_saddle_angle,
+            DEFAULT_PARAMS.max_saddle_angle,
+        )
+        outs.append(jax.tree.map(np.asarray, s))
+    a, b = outs
+    assert a.valid.sum() == b.valid.sum() > 20
+    np.testing.assert_array_equal(a.valid, b.valid)
+    np.testing.assert_array_equal(a.p[a.valid], b.p[b.valid])
+    np.testing.assert_array_equal(a.theta[a.valid], b.theta[b.valid])
+
+
 def test_fused_frontend_matches_xla(euroc):
     from aprilgrid_tpu.ops.frontend import gaussian_blur, hessian_response
     from aprilgrid_tpu.pallas.frontend import fused_frontend
