@@ -231,11 +231,26 @@ def _front_kernel(
         col = 0
         while col < w_pad:
             cw = min(128, w_pad - col)
-            mf = mats_ref[0 : 3 * cw, 0:cw]
-            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
             xs = x[:, 3 * col : 3 * (col + cw)]
-            lf_chunks.append(jnp.dot(xs, mf, preferred_element_type=jnp.float32))
-            l8_chunks.append(jnp.dot(xs, mi, preferred_element_type=jnp.float32))
+            if cw == 128:
+                # full chunk: ONE (3cw, 256) matmul yields both the f32
+                # luma (cols 0:128) and the integer luma (cols 128:256)
+                # — per-column results are bit-identical to two separate
+                # dots, at half the MXU dispatch count
+                both = jnp.dot(
+                    xs, mats_ref[:, :], preferred_element_type=jnp.float32
+                )
+                lf_chunks.append(both[:, 0:128])
+                l8_chunks.append(both[:, 128:256])
+            else:
+                mf = mats_ref[0 : 3 * cw, 0:cw]
+                mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+                lf_chunks.append(
+                    jnp.dot(xs, mf, preferred_element_type=jnp.float32)
+                )
+                l8_chunks.append(
+                    jnp.dot(xs, mi, preferred_element_type=jnp.float32)
+                )
             col += cw
         lf = jnp.concatenate(lf_chunks, axis=1)
         l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
@@ -518,11 +533,24 @@ def _front_kernel_decimate(
         col = 0
         while col < w_pad:
             cw = min(128, w_pad - col)
-            mf = mats_ref[0 : 3 * cw, 0:cw]
-            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
             xs = x[:, 3 * col : 3 * (col + cw)]
-            lf_chunks.append(jnp.dot(xs, mf, preferred_element_type=jnp.float32))
-            l8_chunks.append(jnp.dot(xs, mi, preferred_element_type=jnp.float32))
+            if cw == 128:
+                # one fused (3cw, 256) matmul: f32 luma | integer luma
+                # (bit-identical per column, half the MXU dispatches)
+                both = jnp.dot(
+                    xs, mats_ref[:, :], preferred_element_type=jnp.float32
+                )
+                lf_chunks.append(both[:, 0:128])
+                l8_chunks.append(both[:, 128:256])
+            else:
+                mf = mats_ref[0 : 3 * cw, 0:cw]
+                mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+                lf_chunks.append(
+                    jnp.dot(xs, mf, preferred_element_type=jnp.float32)
+                )
+                l8_chunks.append(
+                    jnp.dot(xs, mi, preferred_element_type=jnp.float32)
+                )
             col += cw
         lf = jnp.concatenate(lf_chunks, axis=1)
         l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
