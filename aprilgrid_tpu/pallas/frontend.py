@@ -67,25 +67,7 @@ def _gray_kernel(mats_ref, raw_hbm, lumaf_ref, luma8_ref, slab, sem, *, tile_h, 
     # Mosaic lacks a direct u8->f32 cast; hop through int32
     x = slab[:].astype(jnp.int32).astype(jnp.float32)
     if channels == 3:
-        lf_chunks = []
-        l8_chunks = []
-        col = 0
-        while col < w:
-            cw = min(128, w - col)
-            # leading submatrices of the periodic constant serve any
-            # chunk width
-            mf = mats_ref[0 : 3 * cw, 0:cw]
-            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
-            xs = x[:, 3 * col : 3 * (col + cw)]
-            lf_chunks.append(
-                jnp.dot(xs, mf, preferred_element_type=jnp.float32)
-            )
-            l8_chunks.append(
-                jnp.dot(xs, mi, preferred_element_type=jnp.float32)
-            )
-            col += cw
-        lf = jnp.concatenate(lf_chunks, axis=1)
-        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+        lf, l8 = _rgb_luma_chunks(x, mats_ref, w)
     elif u16:
         lf = x / 65535.0
         l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
@@ -159,10 +141,56 @@ def gray_kernel(img: jnp.ndarray, interpret: bool = False):
     return lumaf, luma8
 
 
+def _rgb_luma_chunks(x, mats_ref, w_pad):
+    """RGB gray conversion shared by both front kernels: interleaved raw
+    lanes -> (f32 luma, UNSCALED integer luma) via the side-by-side
+    selection matrices. Full 128-col chunks issue ONE (3cw, 256) matmul
+    and split the output columns — per-column results are bit-identical
+    to two separate dots, at half the MXU dispatch count. Both kernels
+    MUST share this path: the turbo half plane's bit-parity with the
+    exact pipeline rests on identical luma."""
+    lf_chunks = []
+    l8_chunks = []
+    col = 0
+    while col < w_pad:
+        cw = min(128, w_pad - col)
+        xs = x[:, 3 * col : 3 * (col + cw)]
+        if cw == 128:
+            both = jnp.dot(
+                xs, mats_ref[:, :], preferred_element_type=jnp.float32
+            )
+            lf_chunks.append(both[:, 0:128])
+            l8_chunks.append(both[:, 128:256])
+        else:
+            mf = mats_ref[0 : 3 * cw, 0:cw]
+            mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
+            lf_chunks.append(
+                jnp.dot(xs, mf, preferred_element_type=jnp.float32)
+            )
+            l8_chunks.append(
+                jnp.dot(xs, mi, preferred_element_type=jnp.float32)
+            )
+        col += cw
+    lf = jnp.concatenate(lf_chunks, axis=1)
+    l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+    return lf, l8
+
+
 def _front_kernel(
     mats_ref, raw_hbm, *rest,
     taps, tile_h, w, w_pad, h, channels, u16, emit_blur=True, gh=None,
 ):
+    """Fused raw->(blur, luma8, tile_min) kernel: gray conversion, 7-tap
+    separable blur and the Hessian-response tile minimum in ONE pass over
+    the raw frames — the f32 luma plane never exists in HBM (saves a full
+    plane write + read vs the split gray_kernel/fused_frontend pair).
+
+    The raw input arrives padded with 8 edge-replicated rows on top and
+    >= 8 below (plus lane alignment), so every tile's DMA window
+    [i*tile_h, i*tile_h + tile_h + 16) is in range and the clamped-border
+    blur semantics (reference src/image_util.rs:144-183) fall out of the
+    padding. Double-buffered DMA hides the raw fetch under compute.
+    """
     has_roff = gh is not None
     if emit_blur:
         if has_roff:
@@ -182,17 +210,6 @@ def _front_kernel(
         blur_ref = None
     if gh is None:
         gh = h
-    """Fused raw->(blur, luma8, tile_min) kernel: gray conversion, 7-tap
-    separable blur and the Hessian-response tile minimum in ONE pass over
-    the raw frames — the f32 luma plane never exists in HBM (saves a full
-    plane write + read vs the split gray_kernel/fused_frontend pair).
-
-    The raw input arrives padded with 8 edge-replicated rows on top and
-    >= 8 below (plus lane alignment), so every tile's DMA window
-    [i*tile_h, i*tile_h + tile_h + 16) is in range and the clamped-border
-    blur semantics (reference src/image_util.rs:144-183) fall out of the
-    padding. Double-buffered DMA hides the raw fetch under compute.
-    """
     bi = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -226,34 +243,7 @@ def _front_kernel(
 
     x = slab[slot].astype(jnp.int32).astype(jnp.float32)
     if channels == 3:
-        lf_chunks = []
-        l8_chunks = []
-        col = 0
-        while col < w_pad:
-            cw = min(128, w_pad - col)
-            xs = x[:, 3 * col : 3 * (col + cw)]
-            if cw == 128:
-                # full chunk: ONE (3cw, 256) matmul yields both the f32
-                # luma (cols 0:128) and the integer luma (cols 128:256)
-                # — per-column results are bit-identical to two separate
-                # dots, at half the MXU dispatch count
-                both = jnp.dot(
-                    xs, mats_ref[:, :], preferred_element_type=jnp.float32
-                )
-                lf_chunks.append(both[:, 0:128])
-                l8_chunks.append(both[:, 128:256])
-            else:
-                mf = mats_ref[0 : 3 * cw, 0:cw]
-                mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
-                lf_chunks.append(
-                    jnp.dot(xs, mf, preferred_element_type=jnp.float32)
-                )
-                l8_chunks.append(
-                    jnp.dot(xs, mi, preferred_element_type=jnp.float32)
-                )
-            col += cw
-        lf = jnp.concatenate(lf_chunks, axis=1)
-        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+        lf, l8 = _rgb_luma_chunks(x, mats_ref, w_pad)
     elif u16:
         lf = x / 65535.0
         l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
@@ -363,7 +353,7 @@ def front_kernel(
     tile_h: int = 64,
 ):
     """(B, H, W[, 3]) u8/u16 raw frames -> (blur_p (B, Hp, Wp) f32,
-    luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/64, 8, 128) f32), fully
+    luma_u8 (B, Hp, Wp) u8, tile_min (B, Hp/tile_h, 8, 128) f32), fully
     fused; outputs are edge-padded to 64-row / 128-lane multiples
     (response zero in padding) for the cluster kernel.
 
@@ -416,6 +406,9 @@ def front_kernel(
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args = [mats, img]
+    assert row_off is None or global_h is not None, (
+        "row_off without global_h would be silently ignored"
+    )
     if global_h is not None:
         if row_off is None:
             row_off = jnp.zeros((b,), jnp.int32)
@@ -464,13 +457,6 @@ def _front_kernel_decimate(
     mats_ref, sel_ref, rsel_ref, raw_hbm, *rest,
     taps, tile_h, w, w_pad, h, whp, channels, u16, pad_b, gh=None,
 ):
-    if gh is not None:
-        (roff_ref, luma8_ref, half_hbm, min_ref,
-         slab, hstage, lscr, sem, osem) = rest
-    else:
-        (luma8_ref, half_hbm, min_ref,
-         slab, hstage, lscr, sem, osem) = rest
-        roff_ref = None
     """Turbo ("decimate") front-end tile: full-res luma8 out, plus a
     HALF-resolution f32 luma plane (2x2 pairwise mean) written in
     pad_raw layout (8 context rows above, edge-replicated padding) with
@@ -490,6 +476,13 @@ def _front_kernel_decimate(
     128 — 128 halves the per-step fixed costs (DMA setup, matmul chunk
     loops) at ~2x the slab VMEM.
     """
+    if gh is not None:
+        (roff_ref, luma8_ref, half_hbm, min_ref,
+         slab, hstage, lscr, sem, osem) = rest
+    else:
+        (luma8_ref, half_hbm, min_ref,
+         slab, hstage, lscr, sem, osem) = rest
+        roff_ref = None
     bi = pl.program_id(0)
     i = pl.program_id(1)
     nb = pl.num_programs(0)
@@ -528,32 +521,7 @@ def _front_kernel_decimate(
     # --- gray conversion (identical to _front_kernel)
     x = slab[slot].astype(jnp.int32).astype(jnp.float32)
     if channels == 3:
-        lf_chunks = []
-        l8_chunks = []
-        col = 0
-        while col < w_pad:
-            cw = min(128, w_pad - col)
-            xs = x[:, 3 * col : 3 * (col + cw)]
-            if cw == 128:
-                # one fused (3cw, 256) matmul: f32 luma | integer luma
-                # (bit-identical per column, half the MXU dispatches)
-                both = jnp.dot(
-                    xs, mats_ref[:, :], preferred_element_type=jnp.float32
-                )
-                lf_chunks.append(both[:, 0:128])
-                l8_chunks.append(both[:, 128:256])
-            else:
-                mf = mats_ref[0 : 3 * cw, 0:cw]
-                mi = mats_ref[0 : 3 * cw, 128 : 128 + cw]
-                lf_chunks.append(
-                    jnp.dot(xs, mf, preferred_element_type=jnp.float32)
-                )
-                l8_chunks.append(
-                    jnp.dot(xs, mi, preferred_element_type=jnp.float32)
-                )
-            col += cw
-        lf = jnp.concatenate(lf_chunks, axis=1)
-        l8 = jnp.floor(jnp.concatenate(l8_chunks, axis=1) / 10000.0)
+        lf, l8 = _rgb_luma_chunks(x, mats_ref, w_pad)
     elif u16:
         lf = x / 65535.0
         l8 = jnp.floor((x * 255.0 + 32767.0) / 65535.0)
@@ -731,7 +699,7 @@ def front_kernel_decimate(
 ):
     """Turbo front-end: (B, H, W[, 3]) u8/u16 raw frames -> (luma_u8
     (B, Hp, Wp) u8, half_p (B, H//2 padded + 16, W//2 padded) f32,
-    tile_min (B, Hp/64, 8, 128) f32).
+    tile_min (B, Hp/tile_h, 8, 128) f32).
 
     ``half_p`` is the 2x2 pairwise-mean decimated luma plane in pad_raw
     layout (8 context rows above, edge-replicated padding) — feed it
@@ -784,6 +752,9 @@ def front_kernel_decimate(
         pl.BlockSpec(memory_space=pltpu.ANY),
     ]
     args = [mats, jnp.asarray(sel_np), jnp.asarray(rsel_np), img]
+    assert row_off is None or global_h is not None, (
+        "row_off without global_h would be silently ignored"
+    )
     if global_h is not None:
         if row_off is None:
             row_off = jnp.zeros((b,), jnp.int32)
