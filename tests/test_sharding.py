@@ -212,6 +212,60 @@ def test_pallas_sharded_turbo_frontend_matches_single_chip(data_dir):
     np.testing.assert_allclose(got.phi[v], ref.phi[v], atol=1e-5)
 
 
+def test_pallas_sharded_turbo_edges_match_single_chip():
+    """Sharded turbo vs single-chip turbo on a synthetic scene with
+    boards FLUSH to the global top/bottom edges and one straddling the
+    shard boundary — exercises the alternating edge-row decimate pad
+    (the 2x2-mean-of-clamp-replicas trap) and the root-claim halo, which
+    the bundled photos never stress."""
+    from PIL import Image
+
+    from aprilgrid_tpu.boards.generator import AprilGridBoard, render_png
+    from aprilgrid_tpu.config import CONSTANTS, DEFAULT_CAPACITIES, DetectorParams
+    from aprilgrid_tpu.parallel.sharding import (
+        saddle_frontend_rows_sharded_pallas_turbo,
+    )
+    from aprilgrid_tpu.pipeline import _pallas_decimated_frontend_batch
+
+    board = AprilGridBoard(
+        size_x=4, size_y=4, tag_family="t36h11",
+        page_width_meter=0.5, page_height_meter=0.5,
+    )
+    chart = render_png(board, pixels_per_mm=1.0)
+    im = Image.fromarray(chart).resize(
+        (int(chart.shape[1] * 0.45), int(chart.shape[0] * 0.45)),
+        Image.BILINEAR,
+    )
+    arr = np.asarray(im)
+    ah, aw = arr.shape
+    canvas = np.full((832, 768), 160, np.uint8)
+    canvas[0:ah, 10 : 10 + aw] = arr                       # flush top
+    canvas[832 - ah : 832, 300 : 300 + aw] = arr           # flush bottom
+    cw = min(aw, 768 - 540)
+    canvas[416 - ah // 2 : 416 - ah // 2 + ah, 540 : 540 + cw] = (
+        arr[:, :cw]
+    )                                                      # straddles sp cut
+
+    params, consts, caps = DetectorParams(), CONSTANTS, DEFAULT_CAPACITIES
+    ref_s, _luma = _pallas_decimated_frontend_batch(
+        jnp.asarray(canvas)[None], params, consts, caps,
+        with_counters=False, interpret=True,
+    )
+    ref = jax.tree.map(lambda a: np.asarray(a[0]), ref_s)
+
+    mesh = make_mesh({"sp": 2})
+    fn = saddle_frontend_rows_sharded_pallas_turbo(
+        mesh, params, consts, caps, "sp", interpret=True
+    )
+    got = jax.tree.map(np.asarray, fn(jnp.asarray(canvas)))
+
+    assert ref.valid.sum() > 60, "edge boards must actually yield saddles"
+    np.testing.assert_array_equal(got.valid, ref.valid)
+    v = ref.valid
+    np.testing.assert_allclose(got.p[v], ref.p[v], atol=1e-5)
+    np.testing.assert_allclose(got.theta[v], ref.theta[v], atol=1e-5)
+
+
 def test_pipeline_parallel_matches_hybrid(data_dir):
     """Two-stage inter-chip pipeline (front-end chip / decode chip) must
     be result-identical to the single-device hybrid path (SURVEY 2c PP
