@@ -102,8 +102,9 @@ class TagDetector:
         ``decimate``: the APPROXIMATE "turbo" mode — detect at half
         resolution, then re-refine surviving corners at full resolution
         straight from the raw frame (see pipeline._decimated_tail). On
-        the >= 1080p golden scenes it finds the exact same tag IDs with
-        corners within ~0.08 px of the exact pipeline, at a large
+        the >= 1080p golden scenes it finds the reference's exact
+        tag-ID set with corners within 0.1 px of the oracle (asserted by
+        tests/test_decimate.py; ~0.08 px vs the exact mode), at a large
         throughput gain (the dense device work scales with pixel count);
         low-resolution frames LOSE recall. ``False`` (default): exact
         reference parity. ``True``: always decimate. ``"auto"``:

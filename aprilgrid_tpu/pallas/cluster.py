@@ -12,13 +12,12 @@ top-most (minimum linear index) pixel. Per window, entirely in VMEM:
 1. Hessian response (bit-identical to the frontend kernel's) and the
    threshold mask; windows with no masked pixel skip everything below;
 2. min-index label relaxation to a fixpoint; roots extracted in
-   ascending-region-minimum order by one of two bit-identical
-   strategies (``extract=``): the serial two-root region DRAIN over
-   loop-carried registers, or the vectorized per-chunk MATMUL batch
-   (up to ``mslots`` roots rank-compacted through one-hot dot_generals,
-   centroids/gates from shared member windows with per-slot bounds —
-   kills the ~0.65 us/root scalar latency chain). Scan order is
-   restored downstream by one XLA sort on the stored labels;
+   ascending-region-minimum order by a serial two-root region DRAIN
+   over loop-carried registers. Scan order is restored downstream by
+   one XLA sort on the stored labels. (A vectorized per-chunk matmul
+   extraction was probed and deleted in round 4: 31-38 % slower on
+   hardware AND not bit-identical under Mosaic lowering — 464 vs 465
+   candidates on two_boards; see docs/ROADMAP.md round-3 session-7);
 3. the ROCHADE quadric fit (reference src/detector.rs:194-361) evaluated
    densely — cone smoothing (25 taps) then the 5 fit coefficients as
    SEPARABLE rank-1 stencils (shared 5-tap vertical + 5-tap horizontal
@@ -75,15 +74,6 @@ _SUBF = 24      # FAST member-scan rows: root row lands in [0, 7] after
                 # a post-drain 48-row re-scan via the tall list
 _TALLCAP = 256  # per-window tall-root list capacity (overflow counts as
                 # drops — surfaced, not silent; typical occupancy is 0-2)
-_MSLOTS = 8     # matmul-extraction slots per chunk visit (chunks with
-                # more roots are revisited — leftovers stay in rem);
-                # p90 chunk occupancy is 10, average 4.7
-_MROWS = 40     # matmul-extraction shared member window rows: covers
-                # every slot's [lroot, lroot+_SUBF) fast-scan span for
-                # roots anywhere in the visit's 16-row group
-_MCOLS = 384    # shared member window cols: covers every slot's
-                # 256-col scan window ([c128-128, c128+256) ⊇ all
-                # per-root windows of roots in the 128-lane block)
 
 
 @functools.lru_cache(maxsize=None)
@@ -172,7 +162,6 @@ def _kernel(
     *refs,
     h, w, hp2, move_thr, capf, from_raw=False, taps=None, channels=1,
     u16=False, gh=None, luma_f32=False, prefilter=False, win=_WIN,
-    extract="drain", mslots=_MSLOTS,
 ):
     # win: sweep-window rows (= _TOP context + _BAND band + blob
     # headroom). The turbo path shrinks it to 160 — half-res blobs are
@@ -257,7 +246,6 @@ def _kernel(
         rm2_ref, rm3_ref, cur_ref, tall_ref,
         bi=bi, ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
         capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
-        extract=extract, mslots=mslots,
     )
 
     # per-frame counters: [0] accepted (== capf => possible overflow),
@@ -276,7 +264,7 @@ def _compute(
     thr_ref, out_ref, blur, lab_ref, fbuf, rem_ref, rm2_ref, rm3_ref,
     cur_ref, tall_ref,
     *, bi, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False, win=_WIN, extract="drain", mslots=_MSLOTS,
+    prefilter=False, win=_WIN,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -324,7 +312,6 @@ def _compute(
             rem_ref, rm2_ref, rm3_ref, cur_ref, tall_ref,
             ti=ti, row0=row0, h=h, w=w, hp2=hp2, move_thr=move_thr,
             capf=capf, roff=roff, gh=gh, prefilter=prefilter, win=win,
-            extract=extract, mslots=mslots,
         )
 
 
@@ -332,7 +319,7 @@ def _compute_clusters(
     mask, grow, rloc, cloc, blur, out_ref, lab_ref, fbuf, rem_ref,
     rm2_ref, rm3_ref, cur_ref, tall_ref,
     *, ti, row0, h, w, hp2, move_thr, capf, roff=None, gh=None,
-    prefilter=False, win=_WIN, extract="drain", mslots=_MSLOTS,
+    prefilter=False, win=_WIN,
 ):
     if roff is None:
         roff = jnp.int32(0)
@@ -801,267 +788,6 @@ def _compute_clusters(
         rm3v = jnp.where(rm3v == m, big, rm3v)
         return nproc, rm3v, jnp.min(rm3v)
 
-    def drain_chunk_matmul(state):
-        # Vectorized per-chunk extraction: up to _MSLOTS roots of the
-        # visit's (16, 128) chunk are processed as ONE batch of vector
-        # work — rank-compacted via a broadcast-compare one-hot +
-        # lanes-lanes dot_generals — instead of the per-root serial
-        # scalar chains of `drain_region` (measured ~0.65 us/root of
-        # pure latency). Chunks with more than _MSLOTS roots keep their
-        # leftovers in `rem_ref` and are revisited (their rm3 entry is
-        # set to the remaining minimum instead of `big`). Every gate and
-        # sum reproduces process_roots' fast pass BIT-EXACTLY: the
-        # shared (40, 384) member window covers each root's own 24x256
-        # scan window, per-slot gates re-impose those exact bounds, and
-        # sums of small ints are exact in f32 regardless of order.
-        # Accepted rows append as one (SLOTS, 8) block per visit with
-        # in-block compaction by a one-hot permute matmul; tall roots
-        # defer to the same serial 48-row rescan as the drain path.
-        nproc, rm3v, m = state
-        S = mslots
-        lr_m = jnp.clip((m >> 16) - row0, 0, win - 1)
-        g16 = pl.multiple_of(jnp.clip((lr_m // 16) * 16, 0, win - 16), 8)
-        c128 = pl.multiple_of(
-            jnp.clip(((m & 0xFFFF) // 128) * 128, 0, wp - 128), 128
-        )
-        reg_raw = rem_ref[pl.ds(g16, 16), pl.ds(c128, 128)]
-        # mask to the min-root's own 16-row group (win is not a
-        # 16-multiple: the clipped last group overlaps group win//16-1)
-        rloc16 = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 0) + g16
-        own_grp = (rloc16 // 16) == (lr_m // 16)
-        reg0 = jnp.where(own_grp, reg_raw, big)
-        rb = (reg0 < big).astype(jnp.int32)
-        nroots = jnp.sum(rb)
-
-        # row-major exclusive rank over the chunk (lane prefix per row +
-        # exclusive sublane prefix of the row totals)
-        li = jax.lax.broadcasted_iota(jnp.int32, (16, 128), 1)
-        inc = rb
-        for sh in (1, 2, 4, 8, 16, 32, 64):
-            inc = inc + jnp.where(li >= sh, pltpu.roll(inc, sh, 1), 0)
-        rowtot = jnp.sum(rb, axis=1, keepdims=True)  # (16, 1)
-        si = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-        incr = rowtot
-        for sh in (1, 2, 4, 8):
-            incr = incr + jnp.where(si >= sh, pltpu.roll(incr, sh, 0), 0)
-        rank2d = (inc - rb) + (incr - rowtot)
-
-        # compact the first S roots' (row, col) via one-hot dot_generals
-        iota_s = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-        rank_f = rank2d.reshape(1, 2048)
-        rb_f = rb.reshape(1, 2048)
-        oh8 = (
-            (jnp.broadcast_to(rank_f, (S, 2048)) == iota_s)
-            & (jnp.broadcast_to(rb_f, (S, 2048)) > 0)
-        ).astype(jnp.float32)
-        ddn = (((1,), (1,)), ((), ()))
-        rrow_f = (reg0 >> 16).astype(jnp.float32).reshape(1, 2048)
-        rcol_f = (reg0 & 0xFFFF).astype(jnp.float32).reshape(1, 2048)
-        row_s = jax.lax.dot_general(
-            oh8, rrow_f, ddn, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)                          # (S, 1) GLOBAL rows
-        col_s = jax.lax.dot_general(
-            oh8, rcol_f, ddn, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)
-        en = iota_s < jnp.minimum(nroots, S)         # (S, 1) bool
-        lbl_s = (row_s << 16) | col_s
-
-        # shared member window (covers every slot's 24x256 fast window)
-        wr0 = pl.multiple_of(jnp.clip(g16, 0, win - _MROWS), 8)
-        cst = pl.multiple_of(jnp.clip(c128 - 128, 0, wp - _MCOLS), 128)
-        lab_w = lab_ref[pl.ds(wr0, _MROWS), pl.ds(cst, _MCOLS)]
-        nm = _MROWS * _MCOLS
-        lab_f = lab_w.reshape(1, nm)
-        rowB = (
-            jax.lax.broadcasted_iota(jnp.int32, (_MROWS, _MCOLS), 0)
-            .reshape(1, nm) + wr0
-        )                                             # local window rows
-        colB = (
-            jax.lax.broadcasted_iota(jnp.int32, (_MROWS, _MCOLS), 1)
-            .reshape(1, nm) + cst
-        )                                             # absolute cols
-        # per-root fast-scan bounds, exactly as process_roots computes
-        row_l = row_s - row0
-        lroot_s = (jnp.clip(row_l, 0, win - _SUBF) // 8) * 8
-        cstart_s = jnp.clip(((col_s - 64) // 128) * 128, 0, wp - subw)
-        member = (
-            (jnp.broadcast_to(lab_f, (S, nm)) == lbl_s)
-            & (jnp.broadcast_to(rowB, (S, nm)) < lroot_s + _SUBF)
-            & (jnp.broadcast_to(colB, (S, nm)) >= cstart_s)
-            & (jnp.broadcast_to(colB, (S, nm)) < cstart_s + subw)
-        )
-        memf = member.astype(jnp.float32)
-        onesn = jnp.ones((1, nm), jnp.float32)
-        cnt_s = jax.lax.dot_general(
-            memf, onesn, ddn, preferred_element_type=jnp.float32
-        )                                             # (S, 1) exact ints
-        scolab = jax.lax.dot_general(
-            memf, colB.astype(jnp.float32), ddn,
-            preferred_element_type=jnp.float32,
-        )
-        srowab = jax.lax.dot_general(
-            memf, rowB.astype(jnp.float32), ddn,
-            preferred_element_type=jnp.float32,
-        )
-        # today's window-local sums: exact integer identities in f32
-        scol = scolab - cnt_s * cstart_s.astype(jnp.float32)
-        srow = srowab - cnt_s * lroot_s.astype(jnp.float32)
-        # window-contact gates via masked extrema (member rows/cols are
-        # already bounded, so max >= bound-2 <=> contact with the last
-        # two rows, min == cstart <=> lateral contact — same tests as
-        # process_roots' colsum probes)
-        maxrow = jnp.max(
-            jnp.where(member, jnp.broadcast_to(rowB, (S, nm)), -1),
-            axis=1, keepdims=True,
-        )
-        mincol = jnp.min(
-            jnp.where(member, jnp.broadcast_to(colB, (S, nm)), 2**30),
-            axis=1, keepdims=True,
-        )
-        maxcol = jnp.max(
-            jnp.where(member, jnp.broadcast_to(colB, (S, nm)), -1),
-            axis=1, keepdims=True,
-        )
-        tall = (maxrow >= lroot_s + _SUBF - 2) & en
-        lft = (mincol == cstart_s) & (cstart_s > 0)
-        rgt = (maxcol == cstart_s + subw - 1) & (cstart_s + subw < w)
-        bad = lft | rgt
-
-        # centroid + record pick (same f32 op order as process_roots)
-        cntf = cnt_s
-        cx = scol / cntf + cstart_s.astype(jnp.float32)
-        cy = srow / cntf + (row0 + lroot_s).astype(jnp.float32)
-        rx = jnp.floor(cx + 0.5).astype(jnp.int32)
-        ry = jnp.floor(cy + 0.5).astype(jnp.int32)
-        in_b = (
-            (ry + roff - hp2 >= 0) & (ry + roff + hp2 < gh)
-            & (rx - hp2 >= 0) & (rx + hp2 < w)
-        )
-        lr = jnp.clip(ry - row0, 0, win - 1)
-        margin_ok = (lr >= 4) & (lr <= win - 5)
-        # pick addresses clipped INTO the shared window (out-of-window
-        # picks only occur for rejected slots; gates force reject)
-        lrc = jnp.clip(lr, wr0, wr0 + _MROWS - 1)
-        rxc = jnp.clip(rx, cst, cst + _MCOLS - 1)
-        ohp = (
-            (jnp.broadcast_to(rowB, (S, nm)) == lrc)
-            & (jnp.broadcast_to(colB, (S, nm)) == rxc)
-        ).astype(jnp.float32)
-        recw = fbuf[:, pl.ds(wr0, _MROWS), pl.ds(cst, _MCOLS)]
-        feat6 = jnp.concatenate(
-            [recw[j].reshape(1, nm) for j in range(6)], axis=0
-        )                                             # (6, nm)
-        rec = jax.lax.dot_general(
-            ohp, feat6, ddn, preferred_element_type=jnp.float32
-        )                                             # (S, 6): one MXU pass
-        # okf plane value at the pick = column 5 of rec, extracted with
-        # a (6, 1) selection matmul (Mosaic lane slices of tiny arrays
-        # are the risky primitive; 0/1 matmuls move values exactly)
-        # selection matrices from iotas (pallas_call rejects captured
-        # concrete constants); 0/1 matmuls move the values bit-exactly
-        i6r = jax.lax.broadcasted_iota(jnp.int32, (6, 1), 0)
-        e5 = (i6r == 5).astype(jnp.float32)
-        okp = jnp.dot(rec, e5, preferred_element_type=jnp.float32) > 0.5
-        acc = en & in_b & ~bad & ~tall & margin_ok & okp
-        accf = acc.astype(jnp.float32)
-        scan_lbl = (row_s * w + col_s).astype(jnp.float32) + 1.0
-        # block columns [x, y, 0, c3, c4, c5, acc, label+1]: place the
-        # six record values with a 0/1 matrix (x,y stay at cols 0-1;
-        # c3..c5 shift to cols 3-5; okf is dropped) and add the
-        # acc/label columns as outer products — all bit-exact moves
-        i68r = jax.lax.broadcasted_iota(jnp.int32, (6, 8), 0)
-        i68c = jax.lax.broadcasted_iota(jnp.int32, (6, 8), 1)
-        p68 = (
-            ((i68c == i68r) & (i68r < 2))
-            | ((i68c == i68r + 1) & (i68r >= 2) & (i68r < 5))
-        ).astype(jnp.float32)
-        i18 = jax.lax.broadcasted_iota(jnp.int32, (1, 8), 1)
-        e6 = (i18 == 6).astype(jnp.float32)
-        e7 = (i18 == 7).astype(jnp.float32)
-        block = (
-            jnp.dot(rec, p68, preferred_element_type=jnp.float32)
-            + jnp.dot(accf, e6, preferred_element_type=jnp.float32)
-            + jnp.dot(scan_lbl, e7, preferred_element_type=jnp.float32)
-        )                                             # (S, 8)
-        # in-block compaction: accepted rows first (one-hot permute
-        # matmul); zero rows past the accepted count carry ok=0/label=0
-        # and are either overwritten by the next block or filtered
-        # downstream (label key -> +inf)
-        rankacc = accf
-        for sh in (1, 2, 4, 8)[: (S - 1).bit_length()]:
-            rankacc = rankacc + jnp.where(
-                si[:S] >= sh, pltpu.roll(rankacc, sh, 0), 0.0
-            )
-        perm = (
-            (jnp.broadcast_to((rankacc - 1.0).reshape(1, S), (S, S))
-             == iota_s.astype(jnp.float32))
-            & jnp.broadcast_to(accf.reshape(1, S) > 0.5, (S, S))
-        ).astype(jnp.float32)
-        compacted = jnp.dot(perm, block, preferred_element_type=jnp.float32)
-        acc_n = jnp.sum(accf).astype(jnp.int32)
-        # blocks write at the ACCEPTED cursor: rows past acc_n are zeros
-        # and get overwritten by the next block (or filtered downstream
-        # by their ok=0 / label-0 columns), so the buffer stays densely
-        # packed and capf/overflow semantics match the drain path (near
-        # capf the clamped position may zero up to S-1 earlier rows —
-        # the == capf overflow signal already marks the frame suspect)
-        cur = cur_ref[0]
-        pos = jnp.minimum(cur, capf - S)
-        out_ref[0, pl.ds(pos, S), :] = compacted
-        cur_ref[0] = jnp.minimum(cur + acc_n, capf)
-        cur_ref[1] = cur_ref[1] + jnp.sum(
-            (bad & ~tall & en).astype(jnp.int32)
-        )
-
-        # tall roots: rare (0-2/window) — append to the serial rescan
-        # list under a branch so the common case pays one any() test
-        n_tall = jnp.sum(tall.astype(jnp.int32))
-
-        @pl.when(n_tall > 0)
-        def _():
-            tallf = tall.astype(jnp.float32)
-            rankt = tallf
-            for sh in (1, 2, 4, 8)[: (S - 1).bit_length()]:
-                rankt = rankt + jnp.where(
-                    si[:S] >= sh, pltpu.roll(rankt, sh, 0), 0.0
-                )
-            permt = (
-                (jnp.broadcast_to((rankt - 1.0).reshape(1, S), (S, S))
-                 == iota_s.astype(jnp.float32))
-                & jnp.broadcast_to(tallf.reshape(1, S) > 0.5, (S, S))
-            ).astype(jnp.float32)
-            # permute row/col separately: the packed label (row<<16|col)
-            # exceeds f32's exact-integer range, but each half is < 2^16
-            trow = jnp.dot(
-                permt, row_s.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            tcol = jnp.dot(
-                permt, col_s.astype(jnp.float32),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.int32)
-            tlbl = (trow << 16) | tcol                # (S, 1) talls first
-            tc = cur_ref[2]
-            for t in range(S):
-                tall_ref[jnp.minimum(tc + t, _TALLCAP - 1)] = jnp.sum(
-                    jnp.where(si[:S] == t, tlbl, 0)
-                )
-            cur_ref[2] = tc + jnp.minimum(n_tall, _TALLCAP - tc)
-
-        # clear the processed roots; leftovers (rank >= S) keep the
-        # chunk alive — its rm3 entry becomes the remaining minimum
-        rem_new = jnp.where(rank2d < S, big, reg0)
-        rem_ref[pl.ds(g16, 16), pl.ds(c128, 128)] = jnp.where(
-            own_grp, rem_new, reg_raw
-        )
-        new_min = jnp.min(rem_new)
-        rm3v = jnp.where(rm3v == m, new_min, rm3v)
-        return (
-            nproc + jnp.minimum(nroots, S),
-            rm3v,
-            jnp.min(rm3v),
-        )
-
     if prefilter:
         # seedless blobs never enter the drain loop (turbo pre-filter)
         rem0 = jnp.where(root & (okprop > 0), own, big)
@@ -1082,7 +808,7 @@ def _compute_clusters(
     rm3v0 = rm3_ref[:, :]
     lax.while_loop(
         lambda st: (st[0] < _MAX_ROOTS) & (st[2] < big),
-        drain_chunk_matmul if extract == "matmul" else drain_region,
+        drain_region,
         (jnp.int32(0), rm3v0, jnp.min(rm3v0)),
     )
 
@@ -1103,7 +829,7 @@ def _compute_clusters(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w", "hp2", "move_thr", "interpret", "extract"),
+    static_argnames=("h", "w", "hp2", "move_thr", "interpret"),
 )
 def cluster_rochade(
     blur: jnp.ndarray,   # (B, Hp, Wp) f32, padded
@@ -1114,7 +840,6 @@ def cluster_rochade(
     move_thr: float = 1.0,
     interpret: bool = False,
     capf: int = _CAPF,
-    extract: str = "drain",
 ):
     """Accepted candidate saddles, append-compacted per frame in
     region-drain order (each row carries its cluster label; sort by
@@ -1146,7 +871,6 @@ def cluster_rochade(
     fields, counts = pl.pallas_call(
         functools.partial(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
-            extract=extract,
         ),
         grid=(b, tiles),
         in_specs=[
@@ -1193,7 +917,6 @@ def cluster_rochade(
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
         "interpret", "capf", "global_h", "luma_f32", "prefilter", "win",
-        "extract", "mslots",
     ),
 )
 def cluster_rochade_raw(
@@ -1216,10 +939,6 @@ def cluster_rochade_raw(
                               # within 2 px of any member
     win: int = _WIN,  # sweep-window rows; the turbo path uses 160 (24-row
                       # blob headroom — half-res blobs are half as tall)
-    extract: str = "drain",  # "drain": serial per-root region drain;
-                             # "matmul": vectorized per-chunk rank/one-hot
-                             # extraction (bit-identical results)
-    mslots: int = _MSLOTS,   # matmul-extraction slots per chunk visit
 ):
     """`cluster_rochade` fed RAW frames: gray conversion and the 7-tap
     separable blur are recomputed per window from the (cheap, u8/u16)
@@ -1246,11 +965,6 @@ def cluster_rochade_raw(
         "window must be 8-aligned and cover band + top context + the "
         "fast member-scan rows"
     )
-    assert extract in ("drain", "matmul")
-    if extract == "matmul" and (wp < _MCOLS or win < _MROWS):
-        # narrow/short planes: the shared member window doesn't fit —
-        # fall back to the (bit-identical) serial drain
-        extract = "drain"
     assert wp % 128 == 0
     assert w < 2**16, f"width {w} overflows the packed (row<<16|col) label"
     assert h * w < 2**24, (
@@ -1268,7 +982,6 @@ def cluster_rochade_raw(
             _kernel, h=h, w=w, hp2=hp2, move_thr=move_thr, capf=capf,
             from_raw=True, taps=taps, channels=channels, u16=u16,
             gh=global_h, luma_f32=luma_f32, prefilter=prefilter, win=win,
-            extract=extract, mslots=mslots,
         ),
         grid=(b, tiles),
         in_specs=[

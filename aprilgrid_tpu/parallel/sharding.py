@@ -59,6 +59,16 @@ def detect_batch_sharded(
       (tiny) saddle arrays via the threaded native batch API
       (native/search.cpp:658-688). Board-search results are re-uploaded
       with the same batch sharding so decode stays distributed.
+
+    Multi-HOST layout (design note — unprovable on this one-host box):
+    gathering every shard's saddles to one process would serialize the
+    board search on host 0. The intended layout on a real multi-host
+    slice is per-host DP: each host runs this function over ITS
+    addressable devices (``jax.local_devices()`` mesh) on its slice of
+    the frame stream, so the native search threads scale with hosts and
+    no saddle array ever crosses a host boundary. Frames, not shards of
+    a frame, are the unit of hybrid work — nothing in the hybrid path
+    needs a cross-host collective.
     """
     spec = P(axis, *([None] * (imgs.ndim - 1)))
     sharded = jax.device_put(jnp.asarray(imgs), NamedSharding(mesh, spec))

@@ -148,18 +148,25 @@ def _pallas_cluster_ok(h: int, w: int) -> bool:
     return -(-h // 64) * 64 >= 184 and w < 2**16 and h * w < 2**24
 
 
-def _extract_cfg() -> dict:
-    """Root-extraction strategy for the Pallas cluster kernel: the
-    serial region drain (default) or the vectorized per-chunk matmul
-    batch — bit-identical results (tests/test_extract_matmul.py).
-    Env ``AG_EXTRACT=matmul`` flips it for hardware A/B benching;
-    ``AG_MSLOTS`` (8/16) tunes the per-visit batch width."""
-    import os
+def _warn_pallas_fallback(h: int, w: int, decimate: bool) -> None:
+    """A frame that was ROUTED AROUND the Pallas cluster kernel (8K-class
+    exact frames beyond the packed-label domain, or frames too short for
+    one sweep window) silently lands on the XLA ops path, which is ~10x
+    slower per byte on this backend. Surface that once per shape, like
+    the capacity warnings in detector.py."""
+    import warnings
 
-    return {
-        "extract": os.environ.get("AG_EXTRACT", "drain"),
-        "mslots": int(os.environ.get("AG_MSLOTS", "8")),
-    }
+    mode = "turbo half-res" if decimate else "exact"
+    warnings.warn(
+        f"{h}x{w} frame ({mode}) is outside the Pallas cluster kernel's "
+        "domain (packed labels need w < 2^16 and h*w < 2^24; the padded "
+        "height must cover one 184-row sweep window) — falling back to "
+        "the XLA ops path, ~10x slower per byte on this backend. For "
+        "8K-class frames the turbo mode (decimate=True) clusters at "
+        "half resolution, which is back inside the domain.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
 
 
 def _front_tile_h() -> int:
@@ -203,19 +210,24 @@ def saddle_frontend_batch(
     import jax
 
     h, w = imgs.shape[1], imgs.shape[2]
-    if (
-        decimate
-        and use_pallas
-        and _pallas_cluster_ok(h // 2, w // 2)
-        and w < 2**16  # sparse-refine label/coord domain at FULL res
-    ):
-        return _pallas_decimated_frontend_batch(
-            imgs, params, consts, caps, with_counters
-        )
+    if decimate and use_pallas:
+        if _pallas_cluster_ok(h // 2, w // 2) and w < 2**16:
+            # (w < 2**16: sparse-refine label/coord domain at FULL res)
+            return _pallas_decimated_frontend_batch(
+                imgs, params, consts, caps, with_counters
+            )
+        if h * w >= 2**24:  # large frame leaving the fast path: warn
+            _warn_pallas_fallback(h, w, decimate)
     # the Pallas cluster kernel needs the padded height to cover one
-    # _WIN-row window; smaller frames take the XLA path below, and
-    # frames beyond the packed-label domain (8K-class) fall back to the
-    # XLA ops path instead of tripping the kernel's assertions
+    # _WIN-row window; smaller frames take the XLA path below silently
+    # (their XLA planes are cheap and the kernel genuinely can't run),
+    # and frames beyond the packed-label domain (8K-class) fall back to
+    # the XLA ops path WITH a warning instead of tripping the kernel's
+    # assertions
+    if use_pallas and not decimate and not _pallas_cluster_ok(h, w) and (
+        w >= 2**16 or h * w >= 2**24
+    ):
+        _warn_pallas_fallback(h, w, decimate)
     if use_pallas and not decimate and _pallas_cluster_ok(h, w):
         from .pallas.cluster import (
             cluster_rochade_raw,
@@ -255,7 +267,6 @@ def saddle_frontend_batch(
             sigma=consts.blur_sigma,
             hp2=2 * consts.rochade_half_patch,
             move_thr=consts.rochade_move_threshold,
-            **_extract_cfg(),
         )
         raw = jax.vmap(saddles_from_candidates)(fields)
         saddles = jax.vmap(
@@ -369,7 +380,6 @@ def _pallas_decimated_frontend_batch(
         sigma=consts.blur_sigma,
         hp2=2 * consts.rochade_half_patch,
         move_thr=consts.rochade_move_threshold,
-        **_extract_cfg(),
         interpret=interpret,
     )
     raw = jax.vmap(saddles_from_candidates)(fields)

@@ -19,6 +19,12 @@ reference's golden tag counts (tests/test_detector.rs:25-33).
 
 Env: BENCH_BATCH, BENCH_REPS, BENCH_MODE (hybrid|xla),
 BENCH_SCOPE=two_boards for the old single-scene headline.
+
+Args: ``--assert-min=X`` exits non-zero when the headline geomean drops
+below X fps — the perf-regression gate (mirrors the reference wiring its
+benches into cargo's harness, /root/reference/Cargo.toml:47-53). Run it
+after a lever lands: ``python bench.py --assert-min=380`` (10 % under
+the last recorded 424.68 exact geomean, BENCH_r03.json).
 """
 
 import json
@@ -145,7 +151,7 @@ def main() -> int:
                             "metric": (
                                 f"detect() {name} ({w}x{h}, {n_tags} tags, "
                                 "hybrid+turbo — approx mode, IDs exact, "
-                                "corners within 0.08 px)"
+                                "corners within 0.1 px of the reference)"
                             ),
                             "value": round(fps, 2),
                             "unit": "fps/chip",
@@ -180,6 +186,55 @@ def main() -> int:
                 )
         except Exception as e:  # noqa: BLE001 — info lines must not kill
             print(f"# turbo lines skipped: {e!r}", file=sys.stderr, flush=True)
+
+    # honest-batch info line: one MIXED-scene batch per resolution class
+    # (batches must be shape-uniform), cycling the golden scenes so the
+    # native PairCache, branch predictors and jit dcap buckets see
+    # DIFFERENT work per frame — 128 copies of one frame flatter all
+    # three. Per-frame counts still assert against each frame's golden.
+    if scope == "geomean" and not decimate and mode == "hybrid":
+        try:
+            for label, group in (
+                ("mixed 1024x1024 (TUM_VI/right/r45/top)",
+                 [("TUM_VI", 36), ("right", 36), ("r45", 36), ("top", 36)]),
+                ("mixed 1920x1080 (iphone/two_boards)",
+                 [("iphone", 66), ("two_boards", 72)]),
+            ):
+                frames = [
+                    load_image(f"tests/data/{n}.png") for n, _ in group
+                ]
+                # RGB/gray mixes within a class share a layout already
+                stack = np.stack(
+                    [frames[i % len(frames)] for i in range(batch)]
+                )
+                imgs = jnp.asarray(stack)
+                out = det.detect_batch(imgs)
+                for i in range(len(group)):
+                    got, want = len(out[i]), group[i][1]
+                    assert got == want, (
+                        f"{label} frame {i} ({group[i][0]}): "
+                        f"expected {want} tags, got {got}"
+                    )
+                best = float("inf")
+                for _ in range(reps):
+                    t0 = time.time()
+                    det.detect_batch(imgs)
+                    best = min(best, time.time() - t0)
+                fps = batch / best
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"detect() {label}, hybrid",
+                            "value": round(fps, 2),
+                            "unit": "fps/chip",
+                            "vs_baseline": round(fps / 2000.0, 4),
+                        }
+                    ),
+                    flush=True,
+                )
+        except Exception as e:  # noqa: BLE001 — info lines must not kill
+            print(f"# mixed-batch lines skipped: {e!r}",
+                  file=sys.stderr, flush=True)
     geo = math.exp(sum(math.log(f) for f in fps_all) / len(fps_all))
     headline = (
         f"detect() geomean fps over the 7 golden images ({mode} mode)"
@@ -196,6 +251,18 @@ def main() -> int:
             }
         )
     )
+    # perf-regression gate: bench.py --assert-min=GEOMEAN fails the run
+    # when the headline drops below the floor (use ~10 % under the last
+    # recorded number so relay noise can't false-alarm)
+    for arg in sys.argv[1:]:
+        if arg.startswith("--assert-min="):
+            floor = float(arg.split("=", 1)[1])
+            if geo < floor:
+                print(
+                    f"# PERF REGRESSION: geomean {geo:.2f} < floor {floor}",
+                    file=sys.stderr,
+                )
+                return 2
     return 0
 
 

@@ -34,6 +34,34 @@ def test_saddle_overflow_warns_hybrid(data_dir):
         det.detect_batch(np.stack([img]))
 
 
+def test_pallas_domain_fallback_warns():
+    """A frame outside the Pallas cluster kernel's packed-label domain
+    (8K-class) must WARN when it silently lands on the ~10x-slower XLA
+    ops path (round-3 verdict item 7). A short w-overflow frame
+    exercises the same routing without 8K-sized CPU compute."""
+    import jax.numpy as jnp
+
+    from aprilgrid_tpu.config import (
+        DEFAULT_CAPACITIES,
+        DEFAULT_PARAMS,
+        PipelineConstants,
+    )
+    from aprilgrid_tpu.pipeline import saddle_frontend_batch
+
+    img = np.full((1, 8, 2**16), 128, np.uint8)
+    with pytest.warns(RuntimeWarning, match="XLA ops path"):
+        try:
+            saddle_frontend_batch(
+                jnp.asarray(img), DEFAULT_PARAMS, PipelineConstants(),
+                DEFAULT_CAPACITIES, use_pallas=True,
+            )
+        except ValueError:
+            # the fallback still runs the fused Pallas BLUR kernel, which
+            # the CPU test backend can't lower non-interpreted; the
+            # routing warning under test fires before any compute
+            pass
+
+
 def test_no_warning_at_default_capacity(data_dir):
     """Default capacities must stay silent on the bundled scenes."""
     import warnings

@@ -51,15 +51,13 @@ def main():
     thr = jax.block_until_ready(thr)
     np.asarray(luma8[0, 0, 0])
 
-    # AG_EXTRACT / AG_MSLOTS / AG_PREFILTER / AG_WIN knobs for A/B
-    extract = os.environ.get("AG_EXTRACT", "drain")
-    mslots = int(os.environ.get("AG_MSLOTS", "8"))
+    # AG_PREFILTER / AG_WIN knobs for A/B
     prefilter = os.environ.get("AG_PREFILTER", "0") not in ("0", "")
     win = int(os.environ.get("AG_WIN", "184"))
     fn = jax.jit(
         lambda r, t: cluster_rochade_raw(
             r, t, h, w, channels=channels, u16=u16,
-            extract=extract, mslots=mslots, prefilter=prefilter, win=win,
+            prefilter=prefilter, win=win,
         )
     )
     fields, counts = fn(raw_p, thr)
@@ -72,7 +70,7 @@ def main():
         fields, counts = fn(raw_p, thr)
         np.asarray(fields[0, 0, 0])  # tiny sync read
         best = min(best, time.time() - t0)
-    print(f"cluster_rochade_raw[{name},{extract}{mslots}] b{batch}: {best*1e3:.1f} ms  ({best/batch*1e6:.0f} us/frame)")
+    print(f"cluster_rochade_raw[{name}] b{batch}: {best*1e3:.1f} ms  ({best/batch*1e6:.0f} us/frame)")
 
     best = float("inf")
     for _ in range(reps):
