@@ -104,6 +104,74 @@ def _window_start(ti, hp, win):
     return pl.multiple_of(jnp.clip(ti * _BAND - _TOP, 0, hp - win), 8)
 
 
+def _stencil_2d(src, weights, win, wp):
+    """acc[r, c] = sum_{dr, dc} weights[dr, dc] * src[r+dr-2, c+dc-2]
+    (roll-based; window-edge rows wrap — consumers gate them out)."""
+    size = weights.shape[0]
+    acc = jnp.zeros_like(src)
+    for dr in range(size):
+        sh_r = (win - dr + 2) % win
+        t = pltpu.roll(src, sh_r, 0) if sh_r else src
+        for dc in range(size):
+            wgt = float(weights[dr, dc])
+            if wgt == 0.0:
+                continue
+            sh_c = (wp - dc + 2) % wp
+            u = pltpu.roll(t, sh_c, 1) if sh_c else t
+            acc = acc + wgt * u
+    return acc
+
+
+def _stencil_1d(src, w, axis, win, wp):
+    size = len(w)
+    dim = win if axis == 0 else wp
+    acc = jnp.zeros_like(src)
+    for d in range(size):
+        sh = (dim - d + 2) % dim
+        t = pltpu.roll(src, sh, axis) if sh else src
+        wgt = float(w[d])
+        if wgt != 0.0:
+            acc = acc + wgt * t
+    return acc
+
+
+def _record_planes(blur, win, wp, hp2, move_thr):
+    """Dense ROCHADE candidate record (reference src/detector.rs:330-356):
+    per-pixel refined offsets (x0, y0), quadric coefficients (c3, c4, c5)
+    and the accept-gate bit, from the in-window blur plane. The exact f32
+    op sequence of the reference scalar chain (plain divides, sqrt'd
+    |c5| < k gate). Window-edge rows carry roll-wraparound garbage —
+    every consumer gates on interior rows. Each quadric-fit stencil is
+    EXACTLY rank-1, so the 25-tap pass factors into one 5-tap vertical +
+    one 5-tap horizontal pass; shared vertical factors are cached."""
+    pinv_np, cone_np = _constants(hp2 // 2)
+    smooth = _stencil_2d(blur, cone_np, win, wp)
+    vcache: dict = {}
+    aplane = []
+    for j in range(5):
+        cvec, rvec = _pinv_rank1(hp2)[j]
+        key = tuple(np.round(cvec, 12))
+        if key not in vcache:
+            vcache[key] = _stencil_1d(smooth, cvec, 0, win, wp)
+        aplane.append(_stencil_1d(vcache[key], rvec, 1, win, wp))
+    a1, a2, a3, a4, a5 = aplane
+    dqf = (2.0 * a1) * (2.0 * a3) - a2 * a2
+    safe_d = jnp.where(dqf == 0.0, 1.0, dqf)
+    x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
+    y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
+    c5p = (a1 + a3) * 0.5
+    c4p = (a1 - a3) * 0.5
+    c3p = a2 * 0.5
+    kkp = jnp.sqrt(c4p * c4p + c3p * c3p)
+    okf = (
+        (dqf < 0.0)
+        & (jnp.abs(x0) <= move_thr)
+        & (jnp.abs(y0) <= move_thr)
+        & (jnp.abs(c5p) < kkp)
+    )
+    return x0, y0, c3p, c4p, c5p, okf
+
+
 def _blur_from_raw(mats_ref, slab, lscr, *, taps, channels, u16, w,
                    luma_f32=False, win=_WIN):
     """Raw slab (_WIN+16 rows of padded u8/u16, channels in lanes) ->
@@ -350,73 +418,16 @@ def _compute_clusters(
         m = jnp.minimum(jnp.minimum(upl, downl), jnp.minimum(leftl, rightl))
         return jnp.where(mask, jnp.minimum(lab, m), big)
 
-    # --- dense ROCHADE fit coefficients (reference src/detector.rs:208-328)
-    pinv_np, cone_np = _constants(hp2 // 2)
-    size = hp2 + 1  # 5
-
-    def stencil(src, weights):
-        # acc[r, c] = sum_{dr, dc} weights[dr, dc] * src[r+dr-2, c+dc-2]
-        acc = jnp.zeros_like(src)
-        for dr in range(size):
-            sh_r = (win - dr + 2) % win
-            t = pltpu.roll(src, sh_r, 0) if sh_r else src
-            for dc in range(size):
-                wgt = float(weights[dr, dc])
-                if wgt == 0.0:
-                    continue
-                sh_c = (wp - dc + 2) % wp
-                u = pltpu.roll(t, sh_c, 1) if sh_c else t
-                acc = acc + wgt * u
-        return acc
-
-    def stencil_1d(src, w, axis):
-        dim = win if axis == 0 else wp
-        acc = jnp.zeros_like(src)
-        for d in range(size):
-            sh = (dim - d + 2) % dim
-            t = pltpu.roll(src, sh, axis) if sh else src
-            wgt = float(w[d])
-            if wgt != 0.0:
-                acc = acc + wgt * t
-        return acc
-
     def make_records():
-        # dense candidate record (reference src/detector.rs:330-356). The
-        # SAME f32 expressions the per-root scalar chain used to
-        # evaluate, now evaluated once per pixel; each root just reads
-        # the record at its rounded centroid, so the decision data is
-        # bit-identical to the scalar path's. fp-exact reference op
-        # sequence on purpose (plain divides, sqrt'd |c5| < k gate) —
-        # see the note that used to live in the root loop. Window-edge
-        # rows get roll-wraparound garbage here; every consumer is gated
-        # by margin_ok/in_b below, exactly as before. Every quadric-fit
-        # stencil is EXACTLY rank-1 (the monomial basis on a product
-        # grid separates), so each 25-tap pass factors into one 5-tap
-        # vertical + one 5-tap horizontal pass; the vertical factors
-        # repeat across coefficients and are shared.
-        smooth = stencil(blur, cone_np)
-        vcache: dict = {}
-        aplane = []
-        for j in range(5):
-            cvec, rvec = _pinv_rank1(hp2)[j]
-            key = tuple(np.round(cvec, 12))
-            if key not in vcache:
-                vcache[key] = stencil_1d(smooth, cvec, 0)
-            aplane.append(stencil_1d(vcache[key], rvec, 1))
-        a1, a2, a3, a4, a5 = aplane
-        dqf = (2.0 * a1) * (2.0 * a3) - a2 * a2
-        safe_d = jnp.where(dqf == 0.0, 1.0, dqf)
-        x0 = (-2.0 * a3 * a4 + a2 * a5) / safe_d
-        y0 = (-2.0 * a1 * a5 + a2 * a4) / safe_d
-        c5p = (a1 + a3) * 0.5
-        c4p = (a1 - a3) * 0.5
-        c3p = a2 * 0.5
-        kkp = jnp.sqrt(c4p * c4p + c3p * c3p)
-        okf = (
-            (dqf < 0.0)
-            & (jnp.abs(x0) <= move_thr)
-            & (jnp.abs(y0) <= move_thr)
-            & (jnp.abs(c5p) < kkp)
+        # dense candidate record (reference src/detector.rs:330-356,
+        # shared helper `_record_planes`). The SAME f32 expressions the
+        # per-root scalar chain used to evaluate, now evaluated once per
+        # pixel; each root just reads the record at its rounded centroid,
+        # so the decision data is bit-identical to the scalar path's.
+        # Window-edge rows get roll-wraparound garbage; every consumer is
+        # gated by margin_ok/in_b below, exactly as before.
+        x0, y0, c3p, c4p, c5p, okf = _record_planes(
+            blur, win, wp, hp2, move_thr
         )
         fbuf[0] = cloc.astype(jnp.float32) + x0
         # y is emitted in GLOBAL rows (== local when single-chip)

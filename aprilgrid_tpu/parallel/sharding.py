@@ -312,15 +312,12 @@ def saddle_frontend_rows_sharded_pallas(
             row_off=roff, global_h=H,
         )
         thr = lax.pmin(jnp.min(tmin), axis) * consts.response_threshold_ratio
-        from ..pipeline import _extract_cfg
-
         fields, _counts = cluster_rochade_raw(
             raw_loc, thr[None], h=local_h, w=wt,
             channels=1, u16=bool(raw_tile.dtype == jnp.uint16),
             sigma=consts.blur_sigma,
             hp2=2 * consts.rochade_half_patch,
             move_thr=consts.rochade_move_threshold,
-            **_extract_cfg(),
             interpret=interpret,
             row_off=roff, global_h=H,
         )
@@ -473,8 +470,6 @@ def saddle_frontend_rows_sharded_pallas_turbo(
             row_off=roff_h, global_h=hh_g,
         )
         thr = lax.pmin(jnp.min(tile_min), axis) * consts.response_threshold_ratio
-        from ..pipeline import _extract_cfg
-
         fields, _counts = cluster_rochade_raw(
             half_p, thr[None], h=local_h // 2, w=w_half,
             channels=1, u16=False, luma_f32=True,
@@ -482,7 +477,6 @@ def saddle_frontend_rows_sharded_pallas_turbo(
             prefilter=True, win=160,
             sigma=consts.blur_sigma, hp2=hp2,
             move_thr=consts.rochade_move_threshold,
-            **_extract_cfg(),
             interpret=interpret,
             row_off=roff_h, global_h=hh_g,
         )

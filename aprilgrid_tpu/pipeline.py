@@ -169,6 +169,16 @@ def _warn_pallas_fallback(h: int, w: int, decimate: bool) -> None:
     )
 
 
+def _turbo_nms() -> bool:
+    """Whether the turbo mode uses the clustering-free NMS extraction
+    kernel (pallas/nms.py) instead of the CCL fixpoint + root drain.
+    Env ``AG_TURBO_NMS`` (default off until the hardware A/B — see
+    docs/ROADMAP.md round-4)."""
+    import os
+
+    return os.environ.get("AG_TURBO_NMS", "0") not in ("0", "")
+
+
 def _front_tile_h() -> int:
     """Grid-step height of the front kernels — exact AND turbo — (64 or
     128; env ``AG_TILEH``). 128 halves the per-step fixed costs (DMA
@@ -361,27 +371,62 @@ def _pallas_decimated_frontend_batch(
         channels=channels, u16=u16, tile_h=tile_h, interpret=interpret,
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
-    fields, counts = cluster_rochade_raw(
-        half_p,
-        thr,
-        h // 2,
-        w // 2,
-        channels=1,
-        u16=False,
-        luma_f32=True,
-        # turbo is already approximate: skip blobs provably far from any
-        # accept-gate pixel before the (per-root serial, resolution-
-        # invariant) drain loop — ~2x fewer loop trips, recall on the
-        # golden scenes pinned by tests/test_decimate.py
-        prefilter=True,
-        # half-res blobs are half as tall: 24 rows of blob headroom
-        # instead of 48 — the dense passes scale with window rows
-        win=160,
-        sigma=consts.blur_sigma,
-        hp2=2 * consts.rochade_half_patch,
-        move_thr=consts.rochade_move_threshold,
-        interpret=interpret,
-    )
+    if _turbo_nms():
+        # clustering-free extraction: dense NMS + per-cell selection
+        # matmuls instead of the label fixpoint + serial root drain
+        # (both resolution-invariant and the turbo throughput floor).
+        # Recall/corner contract pinned by tests/test_decimate.py.
+        from .pallas.cluster import _CAPF as _capf
+        from .pallas.nms import cells_to_fields, nms_extract_raw
+
+        cells = nms_extract_raw(
+            half_p,
+            thr,
+            h // 2,
+            w // 2,
+            channels=1,
+            u16=False,
+            luma_f32=True,
+            win=160,
+            sigma=consts.blur_sigma,
+            hp2=2 * consts.rochade_half_patch,
+            move_thr=consts.rochade_move_threshold,
+            interpret=interpret,
+        )
+        fields, n_peaks = jax.vmap(
+            lambda c: cells_to_fields(c, _capf)
+        )(cells)
+        # counters in the drain kernel's layout: [appended (== capf
+        # flags overflow), dropped past capacity]
+        counts = jnp.stack(
+            [
+                jnp.minimum(n_peaks, float(_capf)),
+                jnp.maximum(n_peaks - float(_capf), 0.0),
+            ],
+            axis=1,
+        )
+    else:
+        fields, counts = cluster_rochade_raw(
+            half_p,
+            thr,
+            h // 2,
+            w // 2,
+            channels=1,
+            u16=False,
+            luma_f32=True,
+            # turbo is already approximate: skip blobs provably far from
+            # any accept-gate pixel before the (per-root serial,
+            # resolution-invariant) drain loop — ~2x fewer loop trips,
+            # recall on the golden scenes pinned by tests/test_decimate.py
+            prefilter=True,
+            # half-res blobs are half as tall: 24 rows of blob headroom
+            # instead of 48 — the dense passes scale with window rows
+            win=160,
+            sigma=consts.blur_sigma,
+            hp2=2 * consts.rochade_half_patch,
+            move_thr=consts.rochade_move_threshold,
+            interpret=interpret,
+        )
     raw = jax.vmap(saddles_from_candidates)(fields)
     half_saddles = jax.vmap(
         lambda s: filter_and_compact(
