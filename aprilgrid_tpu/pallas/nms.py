@@ -227,10 +227,20 @@ def _nms_kernel(
                 0.0,
             ),
         )
+        # precision=HIGHEST: the MXU's default single-pass bf16 matmul
+        # would TRUNCATE the planes (labels up to 2^21, subpixel coords)
+        # — interpret mode hides this. With 0/1 selection operands the
+        # 3-pass product is exact: hi(v)*1 + lo(v)*1 + 0 = v.
         for p, plane in enumerate(planes):
-            rowsum = jnp.dot(pmat, plane, preferred_element_type=jnp.float32)
+            rowsum = jnp.dot(
+                pmat, plane,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             out_ref[0, p] = jnp.dot(
-                rowsum, smat, preferred_element_type=jnp.float32
+                rowsum, smat,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
     @pl.when(jnp.logical_not(jnp.any(mask)))
