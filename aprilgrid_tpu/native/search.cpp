@@ -488,6 +488,60 @@ struct PairCache {
   }
 };
 
+// Memo for is_valid_quad_rest verdicts keyed by the ORDERED saddle
+// index 4-tuple. The predicate is a pure function of the four saddles,
+// so caching is exact by construction. It pays on multi-pass scenes
+// whose leftovers form only low-score boards (no early exit): all 30
+// seeds' candidate grows then walk the same saddle field and re-test
+// the same combos through try_expand_one's 3^4 nest (measured 211k
+// evaluations/frame on iphone.png's pass-2 leftovers — ~3.1 ms/frame
+// of host time vs two_boards' 0.52, tools/probe_iphone.py). Generation
+// stamps make reuse across calls O(1): no per-call clear, ++gen
+// invalidates everything. thread_local storage keeps batch workers
+// shared-nothing.
+struct QuadMemo {
+  struct Entry {
+    uint64_t key = 0;
+    uint32_t gen = 0;   // matches QuadMemo::gen when live
+    uint8_t val = 0;
+  };
+  static constexpr size_t kSlots = 1 << 17;  // 131k x 16 B = 2 MiB
+  std::vector<Entry> slots;
+  uint32_t gen = 0;
+  size_t filled = 0;  // live entries this generation (load cap)
+
+  void next_gen() {
+    if (slots.empty()) slots.assign(kSlots, Entry{});
+    ++gen;
+    filled = 0;
+    if (gen == 0) {  // u32 wrap: stale gens would alias as live
+      std::fill(slots.begin(), slots.end(), Entry{});
+      gen = 1;
+    }
+  }
+
+  // returns true with *out set when memoized; false when the caller
+  // must evaluate (and then record via the returned slot, if any)
+  Entry* probe(uint64_t key, bool& hit, bool& val) {
+    uint64_t h = (key * 0x9e3779b97f4a7c15ull) >> 47;  // top bits -> 17
+    for (;;) {
+      Entry& e = slots[h & (kSlots - 1)];
+      if (e.gen != gen) {  // free (or stale): miss, insertable
+        hit = false;
+        if (2 * filled >= kSlots) return nullptr;  // half full: spill
+        ++filled;
+        return &e;
+      }
+      if (e.key == key) {
+        hit = true;
+        val = (bool)e.val;
+        return &e;
+      }
+      ++h;
+    }
+  }
+};
+
 // Reusable workspace: one Board growth (Board, src/board.rs:18-235)
 // on a flat bounded grid.
 struct Workspace {
@@ -531,13 +585,32 @@ struct Searcher {
   float spacing;
   Workspace& ws;
   PairCache& cache;
+  QuadMemo& qmemo;
   int score = 0;
 
   Searcher(const std::vector<Saddle>& saddles, const SpatialGrid& g,
            const SpatialGrid& gf, float spacing_ratio, Workspace& w,
-           PairCache& pc)
+           PairCache& pc, QuadMemo& qm)
       : s(saddles), grid(g), grid_fine(gf), spacing(spacing_ratio), ws(w),
-        cache(pc) {}
+        cache(pc), qmemo(qm) {}
+
+  // is_valid_quad_rest with the ordered-tuple memo (exact: the
+  // predicate depends on nothing but the four saddles)
+  bool valid_rest(int a, int b, int c, int d) {
+    uint64_t key = ((uint64_t)(uint16_t)a << 48) |
+                   ((uint64_t)(uint16_t)b << 32) |
+                   ((uint64_t)(uint16_t)c << 16) | (uint64_t)(uint16_t)d;
+    bool hit, val;
+    QuadMemo::Entry* e = qmemo.probe(key, hit, val);
+    if (hit) return val;
+    val = is_valid_quad_rest(s[a], s[b], s[c], s[d]);
+    if (e) {
+      e->key = key;
+      e->gen = qmemo.gen;
+      e->val = (uint8_t)val;
+    }
+    return val;
+  }
 
   // find_closest_potential_saddle_idxs (src/board.rs:177-234); the
   // active-agnostic candidate lists are memoized per (ai, bi) edge
@@ -609,8 +682,7 @@ struct Searcher {
           if (!g02[i0][i2]) continue;
           for (int i3 = 0; i3 < n3; ++i3)
             if (g13[i1][i3] &&
-                is_valid_quad_rest(s[c0[i0]], s[c1[i1]], s[c2[i2]],
-                                   s[c3[i3]])) {
+                valid_rest(c0[i0], c1[i1], c2[i2], c3[i3])) {
               out[0] = c0[i0];
               out[1] = c1[i1];
               out[2] = c2[i2];
@@ -794,7 +866,9 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   Workspace ws;
   PairCache cache;
   cache.reset(m);
-  Searcher searcher(s, grid, grid_fine, spacing_ratio, ws, cache);
+  static thread_local QuadMemo qmemo;  // shared-nothing across workers
+  qmemo.next_gen();
+  Searcher searcher(s, grid, grid_fine, spacing_ratio, ws, cache, qmemo);
   int best_score = 0;
   std::vector<std::array<int, 4>> best_quads;
   std::vector<int> best_cellmap;

@@ -99,6 +99,12 @@ def main() -> int:
                     {round(c["alive"] / c["frames"]) for c in calls}
                 ),
             }
+            rec["calls"] = [
+                {"ms_per_frame": round(1e3 * c["s"] / c["frames"], 3),
+                 "alive": round(c["alive"] / c["frames"]),
+                 "board_frames": c["boards"], "frames": c["frames"]}
+                for c in calls
+            ]
             if best is None or rec["fps"] > best["fps"]:
                 best = rec
         print(json.dumps(best))
