@@ -24,6 +24,8 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -214,6 +216,45 @@ struct SpatialGrid {
     return (size_t)cy * nx + cx;
   }
 
+
+  // Min squared distance from (qx, qy) to any cell NOT visited after
+  // finishing ring `ring` of the clamped walk: the unvisited region is
+  // the in-box complement of the visited square — four strips. Exact
+  // geometry (minus a cell/1000 binning-jitter guard), so it is ALWAYS
+  // at least the legacy (ring-1)*cell bound and, for query points
+  // extrapolated outside the saddle bounding box (closest_potential
+  // projects a + v*ratio well past the cloud on sparse pass-2
+  // leftovers), it adds the out-of-box offset the legacy bound ignored
+  // — those walks visited nearly every cell before stopping.
+  float unvisited_d2(float qx, float qy, int cx, int cy, int ring) const {
+    float guard = 0.001f * cell;
+    float bx1 = x0 + (float)nx * cell, by1 = y0 + (float)ny * cell;
+    float xbox = std::max(0.0f, std::max(x0 - qx, qx - bx1));
+    float ybox = std::max(0.0f, std::max(y0 - qy, qy - by1));
+    float best = 1e30f;
+    if (cx + ring + 1 <= nx - 1) {  // right strip, full box height
+      float dx = std::max(
+          0.0f, x0 + (float)(cx + ring + 1) * cell - qx - guard);
+      best = std::min(best, dx * dx + ybox * ybox);
+    }
+    if (cx - ring - 1 >= 0) {       // left strip
+      float dx = std::max(
+          0.0f, qx - (x0 + (float)(cx - ring) * cell) - guard);
+      best = std::min(best, dx * dx + ybox * ybox);
+    }
+    if (cy + ring + 1 <= ny - 1) {  // bottom strip, full box width
+      float dy = std::max(
+          0.0f, y0 + (float)(cy + ring + 1) * cell - qy - guard);
+      best = std::min(best, xbox * xbox + dy * dy);
+    }
+    if (cy - ring - 1 >= 0) {       // top strip
+      float dy = std::max(
+          0.0f, qy - (y0 + (float)(cy - ring) * cell) - guard);
+      best = std::min(best, xbox * xbox + dy * dy);
+    }
+    return best;                    // 1e30: everything is visited
+  }
+
   // k nearest neighbors of (qx, qy), sorted by distance.
   // Small-k fast path: the hot expansion queries are 3-NN (and 1-NN for
   // hole repair) — a bounded insertion sort with distance pruning beats
@@ -349,22 +390,24 @@ struct SpatialGrid {
             scan_row(cx + ring, cx + ring, gy);
       }
       if (visited >= total) break;
-      if (n0 == k && ring >= 1) {
-        float safe = (float)(ring - 1) * cell;
-        if (bd[k - 1] <= safe * safe) break;
-      }
+      if (n0 == k && unvisited_d2(qx, qy, cx, cy, ring) >= bd[k - 1])
+        break;
     }
     out.clear();
     for (int j = 0; j < n0; ++j) out.emplace_back(bd[j], bi[j]);
   }
 
   // k nearest neighbors WITHIN radius sqrt(r2) — identical result to
-  // knn_small followed by the caller's dsq <= r2 filter, but the ring
-  // walk stops at the radius bound. The expansion queries' radii
-  // (0.5 * edge^2, ~20 px) are far smaller than the density-scaled
-  // cell of the default grid, so on a finer grid this cuts the ~25
-  // point visits per 3-NN to ~2 (gprof: the queries were 65 % of a
-  // no-board pass-2 search).
+  // knn_small followed by the caller's dsq <= r2 filter (an in-radius
+  // point outside the overall top-k implies k closer points that are
+  // also in-radius). The running top-k deliberately ADMITS
+  // out-of-radius points: they tighten the ring-walk stop bound to
+  // min(r2, kth-best-overall) — on sparse noise fields the kth-best
+  // bound fires first (a radius-only bound walked the full huge-radius
+  // disc on pass-2 leftover edges: iphone pass-2 3.0 -> 4.1 ms/frame,
+  // tools/probe_iphone.py), on dense boards the radius bound does
+  // (gprof: unbounded 3-NN was 65 % of a no-board pass-2 search) —
+  // and the emit loop filters them back out.
   void knn_radius(float qx, float qy, int k, float r2,
                   std::vector<std::pair<float, int>>& out) const {
     const int total = (int)items.size();
@@ -380,7 +423,6 @@ struct SpatialGrid {
       for (int ii = i0; ii < i1; ++ii) {
         float dx = sx[ii] - qx, dy = sy[ii] - qy;
         float d = dx * dx + dy * dy;
-        if (d > r2) continue;  // the caller would drop it anyway
         if (n0 == k && d >= bd[k - 1]) continue;
         int i = items[ii];
         int j = std::min(n0, k - 1);
@@ -416,16 +458,14 @@ struct SpatialGrid {
             scan_row(cx + ring, cx + ring, gy);
       }
       if (visited >= total) break;
-      // any unvisited point is farther than (ring-1) cells; stop once
-      // that exceeds both the radius and (when full) the kth-best
-      if (ring >= 1) {
-        float safe = (float)(ring - 1) * cell;
-        float bound = n0 == k ? std::min(r2, bd[k - 1]) : r2;
-        if (safe * safe >= bound) break;
-      }
+      // stop once every unvisited cell is farther than the radius and
+      // (when full) the kth-best-overall
+      float bound = n0 == k ? std::min(r2, bd[k - 1]) : r2;
+      if (unvisited_d2(qx, qy, cx, cy, ring) >= bound) break;
     }
     out.clear();
-    for (int j = 0; j < n0; ++j) out.emplace_back(bd[j], bi[j]);
+    for (int j = 0; j < n0; ++j)
+      if (bd[j] <= r2) out.emplace_back(bd[j], bi[j]);
   }
 };
 
@@ -485,6 +525,38 @@ struct PairCache {
       }
       h = (h + 1) & mask;
     }
+  }
+};
+
+// Env-gated search statistics (AG_SEARCH_STATS=1): per-ag_find_board
+// counters dumped to stderr, for attributing host-search time between
+// seeding, candidate grows, and the expansion nest. Zero overhead in
+// the counters themselves (plain thread_local increments, no atomics).
+struct SearchStats {
+  long seeds = 0, cands = 0, grows = 0, expands = 0, cp_miss = 0,
+       vr_calls = 0, vr_hits = 0, knn50 = 0;
+  // rdtsc cycle attribution (only meaningful when stats are on)
+  unsigned long long cy_init = 0, cy_grow = 0, cy_cp = 0, cy_vr = 0;
+  void reset() { *this = SearchStats{}; }
+};
+static thread_local SearchStats g_stats;
+static bool stats_enabled() {
+  static const bool on = [] {
+    const char* e = std::getenv("AG_SEARCH_STATS");
+    return e && *e && *e != '0';
+  }();
+  return on;
+}
+// Scope timer feeding a SearchStats cycle counter; free when stats are
+// off (one predictable branch per scope).
+struct StatScope {
+  unsigned long long* acc;
+  unsigned long long t0;
+  explicit StatScope(unsigned long long& a)
+      : acc(stats_enabled() ? &a : nullptr),
+        t0(acc ? __builtin_ia32_rdtsc() : 0) {}
+  ~StatScope() {
+    if (acc) *acc += __builtin_ia32_rdtsc() - t0;
   }
 };
 
@@ -602,8 +674,12 @@ struct Searcher {
                    ((uint64_t)(uint16_t)c << 16) | (uint64_t)(uint16_t)d;
     bool hit, val;
     QuadMemo::Entry* e = qmemo.probe(key, hit, val);
-    if (hit) return val;
-    val = is_valid_quad_rest(s[a], s[b], s[c], s[d]);
+    ++g_stats.vr_calls;
+    if (hit) { ++g_stats.vr_hits; return val; }
+    {
+      StatScope _t(g_stats.cy_vr);
+      val = is_valid_quad_rest(s[a], s[b], s[c], s[d]);
+    }
     if (e) {
       e->key = key;
       e->gen = qmemo.gen;
@@ -620,6 +696,8 @@ struct Searcher {
     PairCache::Entry& e =
         cache.probe(((uint32_t)ai << 16) | (uint32_t)bi, hit);
     if (!hit) {
+      ++g_stats.cp_miss;
+      StatScope _t(g_stats.cy_cp);
       const Saddle& a = s[ai];
       const Saddle& b = s[bi];
       float ratio = 1.0f + spacing;
@@ -628,16 +706,23 @@ struct Searcher {
       e.key = ((uint32_t)ai << 16) | (uint32_t)bi;
       e.n0 = e.n1 = 0;
       // radius-bounded 3-NN on the fine grid == 3-NN + dsq<=radius_sq
-      // filter on any grid (same set, same order); the huge-radius
+      // filter on any grid (same set, same order: anything within the
+      // radius that misses the overall top-3 implies three closer
+      // points that are also within the radius); the huge-radius
       // degenerate edges fall back to the coarse grid so the ring walk
-      // never crawls hundreds of near-empty fine cells
+      // never crawls hundreds of near-empty fine cells — still
+      // radius-BOUNDED there: the unbounded coarse 3-NN walked rings
+      // until it found 3 neighbors ANYWHERE and then filtered nearly
+      // all of them (pass-2 noise leftovers: 1476 cache-miss edges
+      // x 2 sparse-field walks ≈ 2.5 ms/frame on iphone.png,
+      // tools/probe_iphone.py + AG_SEARCH_STATS)
       bool fine = radius_sq <= 16.0f * grid_fine.cell * grid_fine.cell;
       auto query = [&](float qx, float qy, const Saddle& ref,
                        int16_t* dst, int8_t& cnt) {
         if (fine)
           grid_fine.knn_radius(qx, qy, 3, radius_sq, ws.nn);
         else
-          grid.knn(qx, qy, 3, ws.nn);
+          grid.knn_radius(qx, qy, 3, radius_sq, ws.nn);
         for (auto& [dsq, idx] : ws.nn) {
           if (dsq <= radius_sq &&
               theta_distance_degree(ref.theta, s[idx].theta) < 5.0f)
@@ -661,6 +746,7 @@ struct Searcher {
   // per combo. Identical predicates in identical first-accept order, so
   // the returned quad is exactly the reference's.
   bool try_expand_one(const int q[4], int out[4]) {
+    ++g_stats.expands;
     int n0, n1, n2, n3;
     int c0[3], c1[3], c2[3], c3[3];
     closest_potential(q[0], q[1], c0, n0, c1, n1);
@@ -696,6 +782,8 @@ struct Searcher {
   // Board::new + try_expand (src/board.rs:27-152) with an explicit DFS
   // stack carrying per-cell direction progress (no retries).
   void grow(const int* seed, const std::vector<uint8_t>& active_mask) {
+    ++g_stats.grows;
+    StatScope _t(g_stats.cy_grow);
     ws.reset();
     ws.active = active_mask;
     for (int i = 1; i < 4; ++i) ws.active[seed[i]] = 0;
@@ -777,6 +865,7 @@ void init_quads(const std::vector<Saddle>& s, const SpatialGrid& grid,
                 std::vector<std::array<int, 4>>& out) {
   out.clear();
   const Saddle& s0 = s[s0_idx];
+  ++g_stats.knn50;
   grid.knn(s0.x, s0.y, std::min<size_t>(50, s.size()), nn);
   std::vector<int> same, diff;
   for (size_t i = 1; i < nn.size(); ++i) {
@@ -868,6 +957,7 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   cache.reset(m);
   static thread_local QuadMemo qmemo;  // shared-nothing across workers
   qmemo.next_gen();
+  if (stats_enabled()) g_stats.reset();
   Searcher searcher(s, grid, grid_fine, spacing_ratio, ws, cache, qmemo);
   int best_score = 0;
   std::vector<std::array<int, 4>> best_quads;
@@ -879,7 +969,12 @@ int ag_find_board(const float* px, const float* py, const float* theta,
   while (!seeds.empty() && count < max_seeds) {
     int s0 = seeds.back();
     seeds.pop_back();
-    init_quads(s, grid, s0, nn, cand);
+    ++g_stats.seeds;
+    {
+      StatScope _t(g_stats.cy_init);
+      init_quads(s, grid, s0, nn, cand);
+    }
+    g_stats.cands += (long)cand.size();
     for (auto& q : cand) {
       int qi[4] = {q[0], q[1], q[2], q[3]};
       searcher.grow(qi, active_mask);
@@ -893,6 +988,16 @@ int ag_find_board(const float* px, const float* py, const float* theta,
     if (best_score >= early_exit_score) break;
     ++count;
   }
+  if (stats_enabled())
+    std::fprintf(stderr,
+                 "[ag_stats] m=%d seeds=%ld cands=%ld grows=%ld "
+                 "expands=%ld cp_miss=%ld vr=%ld/%ld knn50=%ld best=%d "
+                 "cyc init=%llu grow=%llu cp=%llu vr=%llu\n",
+                 m, g_stats.seeds, g_stats.cands, g_stats.grows,
+                 g_stats.expands, g_stats.cp_miss, g_stats.vr_hits,
+                 g_stats.vr_calls, g_stats.knn50, best_score,
+                 g_stats.cy_init, g_stats.cy_grow, g_stats.cy_cp,
+                 g_stats.cy_vr);
   if (best_score == 0) return 0;
 
   // restore the best board into the workspace and repair holes
