@@ -124,16 +124,15 @@ inline bool gate_v02_angle(const Saddle& s0, const Saddle& s1) {
 }
 
 // gates 3+ (src/saddle.rs:40-66): convexity, opposite-angle agreement,
-// orientation dots — need all four saddles.
-bool is_valid_quad_rest(const Saddle& s0, const Saddle& d0,
-                        const Saddle& s1, const Saddle& d1) {
-  float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
-  float v03x = d1.x - s0.x, v03y = d1.y - s0.y;
-  float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
-
-  float c0 = cross(v01x, v01y, v02x, v02y);
-  float c1 = cross(v02x, v02y, v03x, v03y);
-  if (c0 * c1 < 0.0f) return false;
+// orientation dots — need all four saddles. Split so the init_quads
+// nest can hoist the (s0, s1, single-diagonal) gates out of the pair
+// loop: quad_rest_mid is the middle conjunct chain (second convexity
+// cross + the two opposite-angle agreements), byte-for-byte the same
+// arithmetic in the same order.
+inline bool quad_rest_mid(const Saddle& s0, const Saddle& d0,
+                          const Saddle& s1, const Saddle& d1,
+                          float v01x, float v01y, float v03x,
+                          float v03y) {
   float v12x = s1.x - d0.x, v12y = s1.y - d0.y;
   float v23x = d1.x - s1.x, v23y = d1.y - s1.y;
   float c01 = cross(v01x, v01y, v12x, v12y);
@@ -148,6 +147,20 @@ bool is_valid_quad_rest(const Saddle& s0, const Saddle& d0,
   float d30 = dot(v30x, v30y, v01x, v01y);
   if (!angles_close10(d01, c01, d23, c23)) return false;
   if (!angles_close10(d12, c12, d30, c30)) return false;
+  return true;
+}
+
+bool is_valid_quad_rest(const Saddle& s0, const Saddle& d0,
+                        const Saddle& s1, const Saddle& d1) {
+  float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
+  float v03x = d1.x - s0.x, v03y = d1.y - s0.y;
+  float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
+
+  float c0 = cross(v01x, v01y, v02x, v02y);
+  float c1 = cross(v02x, v02y, v03x, v03y);
+  if (c0 * c1 < 0.0f) return false;
+  if (!quad_rest_mid(s0, d0, s1, d1, v01x, v01y, v03x, v03y))
+    return false;
   if (dot(v01x, v01y, v02x, v02y) < 0.0f ||
       dot(v03x, v03y, v02x, v02y) < 0.0f)
     return false;
@@ -536,7 +549,8 @@ struct SearchStats {
   long seeds = 0, cands = 0, grows = 0, expands = 0, cp_miss = 0,
        vr_calls = 0, vr_hits = 0, knn50 = 0;
   // rdtsc cycle attribution (only meaningful when stats are on)
-  unsigned long long cy_init = 0, cy_grow = 0, cy_cp = 0, cy_vr = 0;
+  unsigned long long cy_init = 0, cy_grow = 0, cy_cp = 0, cy_vr = 0,
+                     cy_knn50 = 0, cy_g1 = 0, cy_nest = 0;
   void reset() { *this = SearchStats{}; }
 };
 static thread_local SearchStats g_stats;
@@ -866,7 +880,10 @@ void init_quads(const std::vector<Saddle>& s, const SpatialGrid& grid,
   out.clear();
   const Saddle& s0 = s[s0_idx];
   ++g_stats.knn50;
-  grid.knn(s0.x, s0.y, std::min<size_t>(50, s.size()), nn);
+  {
+    StatScope _t(g_stats.cy_knn50);
+    grid.knn(s0.x, s0.y, std::min<size_t>(50, s.size()), nn);
+  }
   std::vector<int> same, diff;
   for (size_t i = 1; i < nn.size(); ++i) {
     int idx = nn[i].second;
@@ -882,20 +899,49 @@ void init_quads(const std::vector<Saddle>& s, const SpatialGrid& grid,
   // Identical predicates, identical enumeration order.
   size_t nd = diff.size();
   std::vector<uint8_t> g1(nd * nd);
-  for (size_t a = 0; a < nd; ++a)
-    for (size_t b = a + 1; b < nd; ++b)
-      g1[a * nd + b] = gate_diag_theta(s[diff[a]], s[diff[b]]);
+  {
+    StatScope _t(g_stats.cy_g1);
+    for (size_t a = 0; a < nd; ++a)
+      for (size_t b = a + 1; b < nd; ++b)
+        g1[a * nd + b] = gate_diag_theta(s[diff[a]], s[diff[b]]);
+  }
+  StatScope _tn(g_stats.cy_nest);
+  // The pair nest evaluates is_valid_quad_rest = [c0*c1 convexity] &&
+  // [mid gates] && [both diagonals forward of v02]. The first and last
+  // conjuncts depend on (s0, s1, ONE diagonal), so per s1 they are
+  // precomputed once per diff index and the pair loop walks only the
+  // forward-passing diffs (order-preserving compaction), testing the
+  // convexity product from the cached crosses before paying for the
+  // mid gates. Same conjunction, same arithmetic (cross(v02,v03) ==
+  // -cross(v03,v02) exactly in IEEE), same emission order.
+  std::vector<float> dvx(nd), dvy(nd), cxv(nd);
+  std::vector<int> fwd;
+  fwd.reserve(nd);
+  for (size_t i = 0; i < nd; ++i) {
+    dvx[i] = s[diff[i]].x - s0.x;
+    dvy[i] = s[diff[i]].y - s0.y;
+  }
   for (int s1_idx : same) {
     if (!gate_v02_angle(s0, s[s1_idx])) continue;
-    for (size_t a = 0; a < diff.size(); ++a) {
-      for (size_t b = a + 1; b < diff.size(); ++b) {
+    const Saddle& s1 = s[s1_idx];
+    float v02x = s1.x - s0.x, v02y = s1.y - s0.y;
+    fwd.clear();
+    for (size_t i = 0; i < nd; ++i) {
+      cxv[i] = dvx[i] * v02y - dvy[i] * v02x;
+      if (!(dvx[i] * v02x + dvy[i] * v02y < 0.0f)) fwd.push_back((int)i);
+    }
+    for (size_t ai = 0; ai < fwd.size(); ++ai) {
+      size_t a = (size_t)fwd[ai];
+      for (size_t bi = ai + 1; bi < fwd.size(); ++bi) {
+        size_t b = (size_t)fwd[bi];
         if (!g1[a * nd + b]) continue;
+        if (cxv[a] * -cxv[b] < 0.0f) continue;
         const Saddle& d0 = s[diff[a]];
         const Saddle& d1 = s[diff[b]];
-        if (!is_valid_quad_rest(s0, d0, s[s1_idx], d1)) continue;
-        float v01x = d0.x - s0.x, v01y = d0.y - s0.y;
-        float v02x = s[s1_idx].x - s0.x, v02y = s[s1_idx].y - s0.y;
-        if (cross(v01x, v01y, v02x, v02y) > 0.0f)
+        if (!quad_rest_mid(s0, d0, s1, d1, dvx[a], dvy[a], dvx[b],
+                           dvy[b]))
+          continue;
+        if (cxv[a] > 0.0f)
           out.push_back({s0_idx, diff[a], s1_idx, diff[b]});
         else
           out.push_back({s0_idx, diff[b], s1_idx, diff[a]});
@@ -992,12 +1038,14 @@ int ag_find_board(const float* px, const float* py, const float* theta,
     std::fprintf(stderr,
                  "[ag_stats] m=%d seeds=%ld cands=%ld grows=%ld "
                  "expands=%ld cp_miss=%ld vr=%ld/%ld knn50=%ld best=%d "
-                 "cyc init=%llu grow=%llu cp=%llu vr=%llu\n",
+                 "cyc init=%llu grow=%llu cp=%llu vr=%llu "
+                 "knn50=%llu g1=%llu nest=%llu\n",
                  m, g_stats.seeds, g_stats.cands, g_stats.grows,
                  g_stats.expands, g_stats.cp_miss, g_stats.vr_hits,
                  g_stats.vr_calls, g_stats.knn50, best_score,
                  g_stats.cy_init, g_stats.cy_grow, g_stats.cy_cp,
-                 g_stats.cy_vr);
+                 g_stats.cy_vr, g_stats.cy_knn50, g_stats.cy_g1,
+                 g_stats.cy_nest);
   if (best_score == 0) return 0;
 
   // restore the best board into the workspace and repair holes
