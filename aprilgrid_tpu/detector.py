@@ -420,7 +420,17 @@ class TagDetector:
                 }
             return state[ci]
 
-        def search_and_dispatch(ci, p):
+        # The native search runs on ONE background worker so its CPU
+        # time fills the host's device-download waits (np.asarray on the
+        # front-end pack blocks ~100 ms/chunk while the cluster kernel
+        # runs — pure IO wait on the relay; ctypes releases the GIL for
+        # the duration of ag_find_board_batch, so the worker crunches
+        # through it even on this one-core box). Searches are submitted
+        # in wavefront order and the single worker preserves it, so
+        # per-chunk results are bit-identical to the synchronous walk.
+        # Measured: iphone pass-2 search is ~2.2 ms/frame of host CPU
+        # that previously added linearly to e2e (tools/probe_iphone.py).
+        def submit_search(ci, p):
             st = chunk_state(ci)
             alive = st["alive"]
             if p > 0:
@@ -436,23 +446,34 @@ class TagDetector:
                 if unchanged.any():
                     alive = alive * st["changed"][:, None].astype(np.uint8)
             st["changed"] = np.zeros(alive.shape[0], bool)
-            quads, counts = native.find_board_batch(
+            fut = pool.submit(
+                native.find_board_batch,
                 np.ascontiguousarray(st["sp"][..., 0]),
                 np.ascontiguousarray(st["sp"][..., 1]),
                 st["theta"],
-                alive,
+                np.ascontiguousarray(alive),
                 spacing_ratio=self.params.tag_spacing_ratio,
                 max_seeds=self.consts.max_seeds,
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
+            return {"fut": fut, "quads": None, "dec": None, "done": False}
+
+        def dispatch_job(ci, job):
+            # main thread only (jax dispatch): resolve the search future
+            # and launch the decode for its quads
+            if job["done"]:
+                return
+            quads, counts = job["fut"].result()
+            job["done"] = True
             nb = quads.shape[0]
             if not counts.any():
                 # nothing found anywhere in the chunk: the decode would
                 # return all-invalid — skip the dispatch + download
                 # round trips entirely (common for pass 2 on no-board
                 # production streams)
-                return quads[:, :1], None
+                job["quads"] = quads[:, :1]
+                return
             # bucket the static quad capacity to the chunk's ACTUAL max
             # count (power-of-two ladder so jit specializations are
             # shared): real passes carry <= ~70 quads while the safety
@@ -475,9 +496,18 @@ class TagDetector:
                 hw=hw, dcap=dc,
             )
             _copy_to_host_async(dec)
-            return quads, dec
+            job["quads"], job["dec"] = quads, dec
 
-        def collect(ci, quads, dec):
+        def poll_dispatch():
+            # launch decodes for any searches that finished while the
+            # main thread was blocked on a download (non-blocking)
+            for cj, job in pending.items():
+                if not job["done"] and job["fut"].done():
+                    dispatch_job(cj, job)
+
+        def collect(ci, job):
+            dispatch_job(ci, job)  # blocks on the search if still running
+            quads, dec = job["quads"], job["dec"]
             if dec is None:
                 return
             lo, _hi = bounds[ci]
@@ -509,20 +539,27 @@ class TagDetector:
         # chunk the collect -> search -> dispatch chain is unchanged, so
         # results are identical.
         n_passes = self.params.max_num_of_boards
-        pending: dict[int, tuple] = {}  # ci -> last dispatched (quads, dec)
-        for wave in range(n_chunks + max(n_passes - 1, 0)):
-            for p in range(n_passes):
-                ci = wave - p
-                if not (0 <= ci < n_chunks):
-                    continue
-                if p > 0:
-                    collect(ci, *pending[ci])
-                pending[ci] = search_and_dispatch(ci, p)
-                if p == 0:
-                    ensure_fe(ci + 2)  # keep the device 2 chunks ahead
-        for ci in range(n_chunks):  # max_num_of_boards == 0 => no passes
-            if ci in pending:
-                collect(ci, *pending[ci])
+        pending: dict[int, dict] = {}  # ci -> last submitted search job
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            for wave in range(n_chunks + max(n_passes - 1, 0)):
+                for p in range(n_passes):
+                    ci = wave - p
+                    if not (0 <= ci < n_chunks):
+                        continue
+                    poll_dispatch()
+                    if p > 0:
+                        collect(ci, pending[ci])
+                    pending[ci] = submit_search(ci, p)
+                    if p == 0:
+                        ensure_fe(ci + 2)  # keep the device 2 chunks ahead
+            for ci in range(n_chunks):  # max_num_of_boards == 0 => no passes
+                if ci in pending:
+                    collect(ci, pending[ci])
+        finally:
+            pool.shutdown(wait=True)
         return results
 
     def refined_saddle_points(self, img: np.ndarray) -> list[Saddle]:
