@@ -10,6 +10,8 @@ unpads the fixed-capacity result into the reference's {id: corners} dict.
 from __future__ import annotations
 
 import functools
+import os
+
 import numpy as np
 
 import jax
@@ -542,7 +544,13 @@ class TagDetector:
         pending: dict[int, dict] = {}  # ci -> last submitted search job
         from concurrent.futures import ThreadPoolExecutor
 
-        pool = ThreadPoolExecutor(max_workers=1)
+        # AG_SEARCH_ASYNC=0 runs the searches inline on the main thread
+        # (hardware A/B knob for the overlap worker; results are
+        # bit-identical either way — only the schedule changes)
+        if os.environ.get("AG_SEARCH_ASYNC", "1") == "0":
+            pool = _InlineExecutor()
+        else:
+            pool = ThreadPoolExecutor(max_workers=1)
         try:
             for wave in range(n_chunks + max(n_passes - 1, 0)):
                 for p in range(n_passes):
@@ -649,6 +657,28 @@ def _warn_flags(flags: np.ndarray) -> None:
             RuntimeWarning,
             stacklevel=3,
         )
+
+
+class _InlineExecutor:
+    """Executor-shaped shim that runs the callable at submit time on the
+    calling thread (AG_SEARCH_ASYNC=0: the synchronous-search baseline
+    for A/B-ing the background overlap worker)."""
+
+    class _Done:
+        def __init__(self, value):
+            self._value = value
+
+        def result(self):
+            return self._value
+
+        def done(self):
+            return True
+
+    def submit(self, fn, *args, **kwargs):
+        return self._Done(fn(*args, **kwargs))
+
+    def shutdown(self, wait=True):
+        pass
 
 
 def _copy_to_host_async(arr) -> None:
