@@ -544,13 +544,25 @@ class TagDetector:
         pending: dict[int, dict] = {}  # ci -> last submitted search job
         from concurrent.futures import ThreadPoolExecutor
 
-        # AG_SEARCH_ASYNC=0 runs the searches inline on the main thread
-        # (hardware A/B knob for the overlap worker; results are
-        # bit-identical either way — only the schedule changes)
-        if os.environ.get("AG_SEARCH_ASYNC", "1") == "0":
-            pool = _InlineExecutor()
-        else:
+        # The overlap worker pays only on multi-core hosts: with >= 2
+        # cores the search thread genuinely fills device-download waits,
+        # but on a single-core box the relay client, the jax dispatch
+        # AND the search all contend for the same core and every
+        # cross-thread future handoff eats up to a GIL switch interval
+        # (~5 ms) — measured full-suite A/B on the 1-core bench box:
+        # exact geomean 347 (worker on) vs 452 fps/chip (inline), EuRoC
+        # 626 vs 779 (tools/bench_ladder.sh round-4 session-2 + the
+        # AG_SEARCH_ASYNC=0 rerun). Results are bit-identical either
+        # way — only the schedule changes; AG_SEARCH_ASYNC=0/1 forces.
+        async_env = os.environ.get("AG_SEARCH_ASYNC", "")
+        use_async = (
+            async_env == "1"
+            or (async_env != "0" and (os.cpu_count() or 1) > 1)
+        )
+        if use_async:
             pool = ThreadPoolExecutor(max_workers=1)
+        else:
+            pool = _InlineExecutor()
         try:
             for wave in range(n_chunks + max(n_passes - 1, 0)):
                 for p in range(n_passes):

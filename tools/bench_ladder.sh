@@ -4,10 +4,10 @@
 # outages.  Usage:  nohup bash tools/bench_ladder.sh > /tmp/ladder.log 2>&1 &
 #
 # Edit the numbered steps each round to match the ROADMAP's open levers.
-# Round-4 queue:
-#   1. iphone exact attribution (per-stage timeline, the 2x gap to the
-#      device ceiling — VERDICT r3 item 2)
-#   2. turbo clustering-free extraction A/B (VERDICT r3 item 1)
+# Round-4 queue (session 2):
+#   1. background-search overlap worker A/B (AG_SEARCH_ASYNC=0 vs 1) on
+#      the two multi-pass 1080p scenes — the 17:51 commit's only
+#      hardware run hit a dying relay (geomean 267 vs 417 baseline)
 #   F. full bench.py geomean + regression gate — NO timeout (a cold jit
 #      cache can take minutes per new HLO; a killed headline run must
 #      never be silent)
@@ -34,12 +34,11 @@ for i in $(seq 1 240); do
 done
 curl -m 3 -s -o /dev/null http://127.0.0.1:8093/ || { echo "relay still down, aborting"; exit 1; }
 
-run "1 iphone exact per-stage attribution" 560 \
-  env BENCH_SCOPE=iphone BENCH_REPS=6 python tools/bench_detection.py
+run "1a overlap worker ON (iphone+two_boards attribution)" 560 \
+  env BENCH_REPS=4 python tools/probe_iphone.py
 
-run "2a turbo two_boards (drain baseline)" 560 \
-  env BENCH_SCOPE=two_boards BENCH_DECIMATE=1 BENCH_REPS=6 python bench.py
-# 2b: clustering-free turbo extraction once it lands (AG_TURBO_NMS=1)
+run "1b overlap worker OFF (inline-search baseline)" 560 \
+  env AG_SEARCH_ASYNC=0 BENCH_REPS=4 python tools/probe_iphone.py
 
 # Final: full geomean, unbounded (cold compiles take minutes per HLO),
 # gated at 10 % under the last recorded exact geomean (BENCH_r03: 424.68)

@@ -68,6 +68,33 @@ def dense_records(blur_h):
     return x0, y0, c3, c4, c5, kk, okf
 
 
+def merge_peaks(peaks, cand, sweeps):
+    """Geodesic peak merge (round-4: pays down the ~1.7x multi-peak
+    candidate inflation the NMS A/B measured). Propagate the scan-order
+    minimum PEAK position over the candidate mask for ``sweeps``
+    4-neighbor steps; a peak survives only if its own position wins at
+    its pixel. Two peaks merge iff connected by a candidate path of
+    length <= sweeps — separate blobs can never merge (propagation
+    cannot cross mask gaps), so this only collapses same-blob
+    duplicates. Deterministic; kernel twin uses identical math."""
+    h, w = peaks.shape
+    big = np.int64(2**62)
+    pos = (np.arange(h)[:, None] * (2**16) + np.arange(w)[None, :]).astype(
+        np.int64
+    )
+    key = np.where(peaks, pos, big)
+    for _ in range(sweeps):
+        for dy, dx in ((0, 1), (0, -1), (1, 0), (-1, 0)):
+            sh = np.full_like(key, big)
+            src_y = slice(max(dy, 0), h + min(dy, 0))
+            dst_y = slice(max(-dy, 0), h + min(-dy, 0))
+            src_x = slice(max(dx, 0), w + min(dx, 0))
+            dst_x = slice(max(-dx, 0), w + min(-dx, 0))
+            sh[dst_y, dst_x] = key[src_y, src_x]
+            key = np.where(cand & (sh < key), sh, key)
+    return peaks & (key == pos)
+
+
 def nms_peaks(resp, cand, radius):
     """Two-pass NMS exactly as the kernel would do it: (1) plateau =
     candidate achieving the masked response min of its own (2R+1)^2
@@ -159,6 +186,9 @@ def turbo_nms_detect(img, radius, params, stats):
     margin[4 : hp - 4, 4 : wp - 4] = True
     cand = mask & okf & margin
     peaks = nms_peaks(resp_h, cand, radius)
+    if stats.get("merge_sweeps"):
+        stats["peaks_premerge"] = int(peaks.sum())
+        peaks = merge_peaks(peaks, cand, stats["merge_sweeps"])
 
     # --- stats -----------------------------------------------------
     structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
@@ -241,13 +271,21 @@ def turbo_nms_detect(img, radius, params, stats):
 
 
 def main():
-    radii = [int(a) for a in sys.argv[1:]] or [3, 5, 7]
+    # usage: probe_nms.py [R ...] [mK ...]  (mK = merge with K sweeps,
+    # at R=3: e.g. "probe_nms.py 3 m4 m6 m8")
+    radii: list[tuple[int, int]] = []  # (radius, merge_sweeps)
+    for a in sys.argv[1:]:
+        if a.startswith("m"):
+            radii.append((3, int(a[1:])))
+        else:
+            radii.append((int(a), 0))
+    radii = radii or [(3, 0), (5, 0), (7, 0)]
     params = DEFAULT_PARAMS
     for name in ("iphone", "two_boards"):
         img = orc.load_image(f"/root/repo/tests/data/{name}.png")
         ref = orc.TagDetector("t36h11", params).detect(img)
-        for radius in radii:
-            stats: dict = {}
+        for radius, msweeps in radii:
+            stats: dict = {"merge_sweeps": msweeps}
             got = turbo_nms_detect(img, radius, params, stats)
             ids_ok = set(got) == set(ref)
             err = 0.0
@@ -257,7 +295,7 @@ def main():
                     for t in ref
                 )
             print(
-                f"{name} R={radius}: tags {len(got)}/{len(ref)} "
+                f"{name} R={radius} m{msweeps}: tags {len(got)}/{len(ref)} "
                 f"ids_ok={ids_ok} max_corner_err={err:.4f}px  {stats}",
                 flush=True,
             )
