@@ -68,15 +68,18 @@ def dense_records(blur_h):
     return x0, y0, c3, c4, c5, kk, okf
 
 
-def merge_peaks(peaks, cand, sweeps):
+def merge_peaks(peaks, relay, sweeps):
     """Geodesic peak merge (round-4: pays down the ~1.7x multi-peak
     candidate inflation the NMS A/B measured). Propagate the scan-order
-    minimum PEAK position over the candidate mask for ``sweeps``
-    4-neighbor steps; a peak survives only if its own position wins at
-    its pixel. Two peaks merge iff connected by a candidate path of
-    length <= sweeps — separate blobs can never merge (propagation
-    cannot cross mask gaps), so this only collapses same-blob
-    duplicates. Deterministic; kernel twin uses identical math."""
+    minimum PEAK position over the RESPONSE mask (``relay``; the blob
+    connectivity domain — NOT the candidate set, whose okf record gate
+    is false on most interior blob pixels and would block the path
+    between same-blob peaks) for ``sweeps`` 4-neighbor steps; a peak
+    survives only if its own position wins at its pixel. Two peaks
+    merge iff connected by a mask path of length <= sweeps — separate
+    blobs can never merge (propagation cannot cross mask gaps), so this
+    only collapses same-blob duplicates. Deterministic; the kernel twin
+    uses identical math."""
     h, w = peaks.shape
     big = np.int64(2**62)
     pos = (np.arange(h)[:, None] * (2**16) + np.arange(w)[None, :]).astype(
@@ -91,7 +94,7 @@ def merge_peaks(peaks, cand, sweeps):
             src_x = slice(max(dx, 0), w + min(dx, 0))
             dst_x = slice(max(-dx, 0), w + min(-dx, 0))
             sh[dst_y, dst_x] = key[src_y, src_x]
-            key = np.where(cand & (sh < key), sh, key)
+            key = np.where(relay & (sh < key), sh, key)
     return peaks & (key == pos)
 
 
@@ -188,7 +191,7 @@ def turbo_nms_detect(img, radius, params, stats):
     peaks = nms_peaks(resp_h, cand, radius)
     if stats.get("merge_sweeps"):
         stats["peaks_premerge"] = int(peaks.sum())
-        peaks = merge_peaks(peaks, cand, stats["merge_sweeps"])
+        peaks = merge_peaks(peaks, mask, stats["merge_sweeps"])
 
     # --- stats -----------------------------------------------------
     structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
