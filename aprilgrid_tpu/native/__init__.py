@@ -65,7 +65,18 @@ def _lib() -> ctypes.CDLL:
         f32p, f32p, f32p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_float,
         ctypes.c_int, ctypes.c_int, ctypes.c_int, i32p, i32p, ctypes.c_int,
     ]
+    lib.ag_is_valid_quad.restype = ctypes.c_int
+    lib.ag_is_valid_quad.argtypes = [f32p]
     return lib
+
+
+def is_valid_quad(xyt: np.ndarray) -> bool:
+    """Test-only: quad validity of four (x, y, theta_deg) saddles."""
+    return bool(
+        _lib().ag_is_valid_quad(
+            np.ascontiguousarray(xyt, np.float32).reshape(12)
+        )
+    )
 
 
 def find_board(

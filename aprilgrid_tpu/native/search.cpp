@@ -70,18 +70,39 @@ inline float angle_degree(float ax, float ay, float bx, float by) {
 // angle_degree formulation (src/saddle.rs:54-62).
 inline bool angles_close10(float cos_i, float sin_i, float cos_j,
                            float sin_j) {
-  float m2 = (cos_i * cos_i + sin_i * sin_i) *
-             (cos_j * cos_j + sin_j * sin_j);
+  // Squared-domain fast path (round 4): the old path paid 3 sqrts per
+  // call (thr = kCos10*sqrt(m2) and one per wrap_risk magnitude) on a
+  // serial dependency chain; comparing lhs^2 against thr^2 with a band
+  // that STRICTLY CONTAINS the old (thr-eps, thr+eps) band needs none.
+  // Every fast verdict here fires only strictly outside the old band,
+  // so it equals the old fast verdict; anything newly inside the wider
+  // band falls through to the exact atan2 — decisions are identical.
+  //   band check: (thr+eps)^2 - thr^2 = 2*kCos10*m*(1e-4*m + 1e-30)
+  //     + eps^2 <= 1.98e-4*m2 + 2e-30*m + 1e-8*m2  <  3e-4*m2 + 1e-29
+  //     for all m (the 1.02e-4*m2 spare dominates 2e-30*m from
+  //     m >= 2e-26; below that 1e-29 covers it), and symmetrically for
+  //     thr^2 - (thr-eps)^2 <= 2*thr*eps.
+  //   wrap_risk: cos < -0.99*|v|  =>  cos < 0 && cos^2 >= 0.98*v2
+  //     (0.98 < 0.9801 widens the risky set), superset of the old one.
+  float a2 = cos_i * cos_i + sin_i * sin_i;
+  float b2 = cos_j * cos_j + sin_j * sin_j;
+  float m2 = a2 * b2;
   float lhs = cos_i * cos_j + sin_i * sin_j;  // cos(ai - aj) * m
-  constexpr float kCos10 = 0.98480775301220805936f;
-  float m = std::sqrt(m2);
-  float thr = kCos10 * m;
-  float eps = 1e-4f * m + 1e-30f;
-  bool wrap_risk = cos_i < -0.99f * std::sqrt(cos_i * cos_i + sin_i * sin_i) &&
-                   cos_j < -0.99f * std::sqrt(cos_j * cos_j + sin_j * sin_j);
+  constexpr float kCos10Sq = 0.96984631039295419f;  // cos(10 deg)^2
+  bool wrap_risk = cos_i < 0.0f && cos_j < 0.0f &&
+                   cos_i * cos_i >= 0.98f * a2 &&
+                   cos_j * cos_j >= 0.98f * b2;
   if (!wrap_risk) {
-    if (lhs > thr + eps) return true;
-    if (lhs < thr - eps) return false;
+    if (lhs >= 0.0f) {
+      float l2 = lhs * lhs;
+      float t2 = kCos10Sq * m2;
+      float band = 3e-4f * m2 + 1e-29f;
+      if (l2 > t2 + band) return true;
+      if (l2 < t2 - band) return false;
+    } else if (m2 > 1e-50f) {
+      // lhs < 0 < thr - eps for any nondegenerate magnitudes
+      return false;
+    }
   }
   float ai = std::atan2(sin_i, cos_i) * 180.0f / kPi;
   float aj = std::atan2(sin_j, cos_j) * 180.0f / kPi;
@@ -759,7 +780,15 @@ struct Searcher {
         }
       };
       query(a.x + vx * ratio, a.y + vy * ratio, a, e.c0, e.n0);
-      query(b.x + vx * ratio, b.y + vy * ratio, b, e.c1, e.n1);
+      // the b-side list is only ever read when the a-side is nonempty
+      // (every try_expand_one caller returns false on n0 == 0 / n3 == 0
+      // before touching the other side), so an empty a-side makes the
+      // b-side walk dead work — skip it (exact: retrievals of this
+      // entry short-circuit the same way). Pass-2 noise fields hit
+      // this on roughly half the cache misses (the forward
+      // extrapolation lands in empty space).
+      if (e.n0 > 0)
+        query(b.x + vx * ratio, b.y + vy * ratio, b, e.c1, e.n1);
     }
     n0 = n1 = 0;
     for (int j = 0; j < e.n0; ++j)
@@ -981,6 +1010,21 @@ float rust_round(float v) {
 }  // namespace
 
 extern "C" {
+
+// Test-only export: the full quad validity predicate on four (x, y,
+// theta-degree) saddles, for randomized boundary-equivalence tests
+// against the oracle (the angle gates use algebraic fast paths whose
+// decision bands must stay inside the exact atan2 semantics —
+// tests/test_units.py pins this near the 5/10-degree boundaries).
+int ag_is_valid_quad(const float* xyt) {
+  Saddle s[4];
+  for (int i = 0; i < 4; ++i) {
+    float th = xyt[i * 3 + 2] / 180.0f * kPi;
+    s[i] = {xyt[i * 3], xyt[i * 3 + 1], xyt[i * 3 + 2], std::cos(th),
+            std::sin(th)};
+  }
+  return is_valid_quad(s[0], s[1], s[2], s[3]) ? 1 : 0;
+}
 
 // One try_find_best_board pass (src/detector.rs:588-639) over the alive
 // saddles. Returns the number of tag quads written to out_quads

@@ -88,6 +88,56 @@ def test_is_valid_quad_vectorized_matches_oracle():
         assert got[i] == ref, i
 
 
+def test_native_is_valid_quad_matches_oracle_incl_boundaries():
+    """The C++ quad predicate's algebraic fast paths (angles_close10 /
+    gate_v02_angle boundary bands, native/search.cpp) must make the
+    oracle's exact atan2 decisions — stressed with random quads PLUS
+    families swept finely across the 10-degree opposite-angle and
+    5-degree diagonal-theta decision boundaries."""
+    from aprilgrid_tpu import native
+
+    rng = np.random.default_rng(7)
+    cases = []
+
+    n = 4000
+    base = rng.uniform(0, 100, (n, 2)).astype(np.float32)
+    quads = np.stack(
+        [
+            base,
+            base + rng.normal(10, 3, (n, 2)),
+            base + rng.normal([10, 10], 3, (n, 2)),
+            base + rng.normal([0, 10], 3, (n, 2)),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    thetas = rng.uniform(-90, 90, (n, 4)).astype(np.float32)
+    for i in range(n):
+        cases.append((quads[i], thetas[i]))
+
+    # trapezoids whose opposite-corner angle difference sweeps finely
+    # through 10 degrees (2*atan(a/10) = 10 deg at a ~= 0.875)
+    for a in np.linspace(0.80, 0.95, 800):
+        q = np.array(
+            [[0, 0], [10, 0], [10 - a, 10], [a, 10]], np.float32
+        )
+        cases.append((q, np.array([-45, 45, -45, 45], np.float32)))
+
+    # diagonal theta distance sweeping through the 5-degree gate
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+    for dt in np.linspace(4.5, 5.5, 400):
+        cases.append((sq, np.array([-45, 45, -45, 45 + dt], np.float32)))
+
+    for j, (q, th) in enumerate(cases):
+        ref = R.is_valid_quad(
+            R.Saddle(tuple(q[0]), 0, th[0], 0),
+            R.Saddle(tuple(q[1]), 0, th[1], 0),
+            R.Saddle(tuple(q[2]), 0, th[2], 0),
+            R.Saddle(tuple(q[3]), 0, th[3], 0),
+        )
+        xyt = np.concatenate([q, th[:, None]], axis=1)
+        assert native.is_valid_quad(xyt) == ref, (j, q, th)
+
+
 # --- image_util (reference src/image_util.rs:238-317) ----------------------
 
 def test_tag_affine_shape_and_last_row():
