@@ -51,8 +51,14 @@ from .cluster import (
     _BAND,
     _blur_from_raw,
     _record_planes,
-    _window_start,
+    _window_start,  # noqa: F401  (re-exported for the drain-geometry twin)
 )
+
+
+def _win_start(ti, hp, win, top):
+    """Window start with a parameterized top context margin (the drain
+    kernel's _window_start pins top=8; merge mode needs 16)."""
+    return pl.multiple_of(jnp.clip(ti * _BAND - top, 0, hp - win), 8)
 
 _R = 3          # NMS Chebyshev radius (probe: R=3 loses 0-1 accepted
                 # blobs on the golden scenes; R=5/7 lose 25-46 while
@@ -89,7 +95,7 @@ def _minfilt(x, radius, axis, dim, combine=jnp.minimum):
 
 def _nms_kernel(
     *refs, h, w, hp2, move_thr, taps, channels, u16, gh, luma_f32, win,
-    w8,
+    w8, merge,
 ):
     (mats_ref, thr_ref, roff_ref, src_hbm, out_ref, blur_w, lscr,
      sem) = refs
@@ -101,7 +107,14 @@ def _nms_kernel(
     ti = pl.program_id(1)
     nb = pl.num_programs(0)
     nt = pl.num_programs(1)
-    row0 = _window_start(ti, hp, win)
+    # merge mode claims a 16-row TOP margin (vs the drain kernel's 8):
+    # kills flow strictly forward in scan order (pos-min propagation),
+    # and a key's vertical travel is <= 1 row per sweep, so every
+    # kill of a band peak originates <= merge rows above it — with
+    # merge <= 8 all sources and relay paths sit inside the window and
+    # the windowed merge EQUALS the global one (see merge block below).
+    top = 16 if merge else 8
+    row0 = _win_start(ti, hp, win, top)
 
     # double-buffered raw-slab DMA (same protocol as pallas/cluster.py)
     slot = (bi * nt + ti) % 2
@@ -115,7 +128,7 @@ def _nms_kernel(
     last_t = ti == nt - 1
     nbi = jnp.where(last_t, bi + 1, bi)
     nti = jnp.where(last_t, 0, ti + 1)
-    nrow0 = _window_start(nti, hp, win)
+    nrow0 = _win_start(nti, hp, win, top)
 
     @pl.when(nbi < nb)
     def _():
@@ -194,6 +207,39 @@ def _nms_kernel(
         posm = jnp.where(plateau, pos, _BIGI)
         posmin = _minfilt(_minfilt(posm, _R, 1, wp), _R, 0, win)
         peaks = plateau & (pos == posmin)
+
+        if merge:
+            # geodesic peak merge (round 4): propagate the scan-order
+            # MINIMUM peak position over the response mask (the blob
+            # connectivity domain) for `merge` 4-neighbor sweeps; a
+            # peak survives only if its own position wins at its pixel.
+            # Same-blob duplicate peaks (the measured ~1.7x candidate
+            # inflation) collapse onto the scan-first one; separate
+            # blobs can never merge (propagation cannot cross mask
+            # gaps). Kills flow strictly FORWARD in scan order (only a
+            # smaller pos kills) and vertical key travel is <= 1 row
+            # per sweep, so with the 16-row top margin every kill
+            # source and relay path of a band peak is in-window with a
+            # fully-decided NMS verdict: the windowed result equals the
+            # global merge (NumPy twin: tools/probe_nms.py merge_peaks,
+            # identical sweep/direction order). Sources are restricted
+            # to rows whose NMS verdict has full context (R + record
+            # support = 7 rows), except at the true image top/bottom
+            # where the window edge IS the global edge.
+            rel_lo = jnp.where(row0 == 0, 0, 7)
+            rel_hi = jnp.where(row0 + win >= hp, win - 1, win - 8)
+            reliable = (rloc >= rel_lo) & (rloc <= rel_hi)
+            key = jnp.where(peaks & reliable, pos, _BIGI)
+            # direction order matches the NumPy twin exactly (passes
+            # chain within a sweep): from +x, -x, +y, -y
+            for _ in range(merge):
+                for axis, amt in (
+                    (1, wp - 1), (1, 1), (0, win - 1), (0, 1),
+                ):
+                    nk = pltpu.roll(key, amt, axis)
+                    key = jnp.where(mask & (nk < key), nk, key)
+            peaks = peaks & (key == pos)
+
         # this window emits only its own band's peaks
         peaks = peaks & (grow >= band_lo) & (grow < band_lo + _BAND)
 
@@ -253,7 +299,7 @@ def _nms_kernel(
     jax.jit,
     static_argnames=(
         "h", "w", "channels", "u16", "sigma", "hp2", "move_thr",
-        "interpret", "global_h", "luma_f32", "win",
+        "interpret", "global_h", "luma_f32", "win", "merge",
     ),
 )
 def nms_extract_raw(
@@ -271,6 +317,7 @@ def nms_extract_raw(
     global_h: int | None = None,
     luma_f32: bool = True,
     win: int = _WIN_T,
+    merge: int = 0,
 ):
     """Dense per-cell candidate records: (B, 6, tiles*32, Wp/4) f32 with
     plane order [x, y, c3, c4, c5, label+1] (label+1 >= 1 doubles as the
@@ -292,6 +339,9 @@ def nms_extract_raw(
     assert h * w < 2**24, (
         f"{h}x{w} scan-order labels exceed f32's exact-integer range"
     )
+    # merge kill sources reach <= merge rows above a band peak; the
+    # 16-row top margin plus the 7-row reliability inset bounds it
+    assert 0 <= merge <= 8, merge
     tiles = -(-h // _BAND)
     w8 = wp // _CELL
     mf, _ = _deinterleave_chunk(128)
@@ -303,7 +353,7 @@ def nms_extract_raw(
         functools.partial(
             _nms_kernel, h=h, w=w, hp2=hp2, move_thr=move_thr,
             taps=taps, channels=channels, u16=u16, gh=global_h,
-            luma_f32=luma_f32, win=win, w8=w8,
+            luma_f32=luma_f32, win=win, w8=w8, merge=merge,
         ),
         grid=(b, tiles),
         in_specs=[

@@ -32,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 from probe_nms import (  # noqa: E402
     dense_records,
+    merge_peaks,
     nms_peaks,
     turbo_nms_detect,
 )
@@ -48,14 +49,18 @@ from aprilgrid_tpu.pallas.nms import (  # noqa: E402
 
 
 @pytest.mark.parametrize(
-    "name,crop",
+    "name,crop,merge",
     [
-        ("two_boards", (512, 1024)),  # RGB, 2 sweep windows
-        ("iphone", (416, 640)),       # RGB, odd half width (320 -> wp 384)
-        ("TUM_VI", (417, 513)),       # gray, odd dims
+        ("two_boards", (512, 1024), 0),  # RGB, 2 sweep windows
+        ("iphone", (416, 640), 0),       # RGB, odd half width (-> wp 384)
+        ("TUM_VI", (417, 513), 0),       # gray, odd dims
+        # geodesic peak merge: windowed kernel == global NumPy merge
+        ("two_boards", (512, 1024), 8),
+        ("iphone", (416, 640), 4),
+        ("TUM_VI", (417, 513), 8),
     ],
 )
-def test_nms_kernel_matches_numpy(data_dir, name, crop):
+def test_nms_kernel_matches_numpy(data_dir, name, crop, merge):
     img = np.asarray(Image.open(data_dir / f"{name}.png"))[
         : crop[0], : crop[1]
     ]
@@ -77,6 +82,10 @@ def test_nms_kernel_matches_numpy(data_dir, name, crop):
     margin[4 : hp_ - 4, 4 : wp_ - 4] = True
     cand = (resp_h < thr) & okf & margin
     peaks = nms_peaks(resp_h, cand, 3)
+    if merge:
+        inner = np.zeros_like(cand)
+        inner[1:-1, 1:-1] = True
+        peaks = merge_peaks(peaks, (resp_h < thr) & inner, merge)
     ys, xs = np.nonzero(peaks)
     exp = np.stack(
         [
@@ -102,6 +111,7 @@ def test_nms_kernel_matches_numpy(data_dir, name, crop):
     cells = nms_extract_raw(
         half_p, thr_j, h // 2, w // 2, channels=1, u16=False,
         luma_f32=True, sigma=1.5, hp2=4, move_thr=1.0, interpret=True,
+        merge=merge,
     )
     fields, n = jax.vmap(lambda c: cells_to_fields(c, 1024))(cells)
     f = np.asarray(fields[0])
@@ -142,17 +152,19 @@ def test_nms_pipeline_env_knob(data_dir, monkeypatch):
     assert (p[:, 1] > 0).all() and (p[:, 1] < img.shape[0]).all()
 
 
+@pytest.mark.parametrize("merge", [0, 8])
 @pytest.mark.parametrize("name", ["iphone", "two_boards"])
-def test_nms_e2e_matches_oracle(data_dir, name):
+def test_nms_e2e_matches_oracle(data_dir, name, merge):
     """NMS front-end + oracle board search/decode == oracle detect on
     the >= 2 MP goldens: same tag IDs, corners within the 0.1 px
     BASELINE agreement budget (the turbo auto-policy contract, asserted
-    directly against the reference-exact oracle)."""
+    directly against the reference-exact oracle) — with and without the
+    geodesic peak merge (m8 is the production default)."""
     from aprilgrid_tpu.config import DEFAULT_PARAMS
 
     img = orc.load_image(str(data_dir / f"{name}.png"))
     ref = orc.TagDetector("t36h11", DEFAULT_PARAMS).detect(img)
-    stats: dict = {}
+    stats: dict = {"merge_sweeps": merge}
     got = turbo_nms_detect(img, 3, DEFAULT_PARAMS, stats)
     assert set(got) == set(ref)
     assert stats["missed_acc_blobs"] <= 1

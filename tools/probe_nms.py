@@ -191,7 +191,12 @@ def turbo_nms_detect(img, radius, params, stats):
     peaks = nms_peaks(resp_h, cand, radius)
     if stats.get("merge_sweeps"):
         stats["peaks_premerge"] = int(peaks.sum())
-        peaks = merge_peaks(peaks, mask, stats["merge_sweeps"])
+        # relay domain matches the kernel's valid_px-gated mask (the
+        # 1-px global border is excluded there because the windowed
+        # response at edge rows/cols is roll-wrapped garbage)
+        inner = np.zeros_like(mask)
+        inner[1:-1, 1:-1] = True
+        peaks = merge_peaks(peaks, mask & inner, stats["merge_sweeps"])
 
     # --- stats -----------------------------------------------------
     structure = np.array([[0, 1, 0], [1, 1, 1], [0, 1, 0]], dtype=bool)
