@@ -183,11 +183,14 @@ def _nms_merge() -> int:
     """Geodesic peak-merge sweep count for the NMS extraction kernel
     (``AG_NMS_MERGE``, 0-8): collapses same-blob duplicate peaks (the
     measured ~1.7x candidate inflation) onto the scan-first one.
-    Default 8 — m8 cuts iphone/two_boards peak counts by 16/13 % in
-    NumPy with recall intact (tools/probe_nms.py)."""
+    Default 0 — the hardware A/B measured m8 SLOWER than m0 (turbo
+    b128: iphone 261.7 -> 233.1 fps, two_boards 368.5 -> 358.0; the 32
+    masked roll/select passes out-cost the ~130 saved peaks'
+    downstream refine/search work — docs/ROADMAP.md round-4). Recall
+    holds at every setting (tests/test_nms.py pins m0/m4/m8)."""
     import os
 
-    return max(0, min(8, int(os.environ.get("AG_NMS_MERGE", "8"))))
+    return max(0, min(8, int(os.environ.get("AG_NMS_MERGE", "0"))))
 
 
 def _front_tile_h() -> int:
