@@ -41,8 +41,8 @@ run "1b overlap worker OFF (inline-search baseline)" 560 \
   env AG_SEARCH_ASYNC=0 BENCH_REPS=4 python tools/probe_iphone.py
 
 # Final: full geomean, unbounded (cold compiles take minutes per HLO),
-# gated at 10 % under the last recorded exact geomean (BENCH_r03: 424.68)
+# gated at ~10 % under the last recorded exact geomean (r4 session-2: 452.07)
 run "F full geomean + regression gate" 0 \
-  python bench.py --assert-min=380
+  python bench.py --assert-min=405
 
 step "done"
