@@ -57,3 +57,24 @@ def test_detect_batch(detector, data_dir):
     assert len(res) == 2
     assert len(res[0]) == GOLDEN_COUNTS["EuRoC"]
     assert res[1] == {}
+
+
+def test_detect_batch_async_search_identical(detector, data_dir,
+                                             monkeypatch):
+    """The background search-overlap worker (AG_SEARCH_ASYNC=1) only
+    changes the SCHEDULE; results must be bit-identical to the inline
+    walk (the multi-pass two_boards scene exercises collect -> mutate ->
+    resubmit ordering across waves)."""
+    img = load_image(str(data_dir / "two_boards.png"))
+    batch = np.stack([img, img])
+    monkeypatch.setenv("AG_SEARCH_ASYNC", "0")
+    inline = detector.detect_batch(batch)
+    monkeypatch.setenv("AG_SEARCH_ASYNC", "1")
+    threaded = detector.detect_batch(batch)
+    assert len(inline) == len(threaded) == 2
+    for a, b in zip(inline, threaded):
+        assert set(a) == set(b)
+        for tid in a:
+            np.testing.assert_array_equal(
+                np.asarray(a[tid]), np.asarray(b[tid])
+            )
