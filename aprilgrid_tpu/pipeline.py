@@ -169,14 +169,33 @@ def _warn_pallas_fallback(h: int, w: int, decimate: bool) -> None:
     )
 
 
-def _turbo_nms() -> bool:
-    """Whether the turbo mode uses the clustering-free NMS extraction
-    kernel (pallas/nms.py) instead of the CCL fixpoint + root drain.
-    Env ``AG_TURBO_NMS`` (default off until the hardware A/B — see
-    docs/ROADMAP.md round-4)."""
+def _turbo_nms_env() -> str:
+    """Turbo extraction-kernel policy from env ``AG_TURBO_NMS``:
+    ``"0"`` forces the CCL fixpoint + root drain, ``"1"`` (or any other
+    truthy value) forces the clustering-free NMS kernel (pallas/nms.py),
+    ``"auto"`` (the default) lets the hybrid facade's online chooser
+    time both variants and keep the faster one per (batch, shape) —
+    the round-4 hardware A/B measured the winner scene-dependent
+    (two_boards +4.6 % NMS, iphone −4.4 %; docs/ROADMAP.md) and the
+    half-res candidate stats are near-identical between those scenes,
+    so no static rule can pick it (tools/probe_nms.py)."""
     import os
 
-    return os.environ.get("AG_TURBO_NMS", "0") not in ("0", "")
+    v = os.environ.get("AG_TURBO_NMS", "auto")
+    if v in ("0", ""):
+        return "0"
+    return v if v == "auto" else "1"
+
+
+def _resolve_nms(nms: bool | None) -> bool:
+    """Resolve an explicit extraction choice (facade chooser / caller)
+    against the env policy. ``None`` means "no explicit choice": env
+    "1" forces NMS, everything else (incl. "auto" — callers without a
+    chooser, e.g. the whole-program xla mode) takes the drain, whose
+    counters/recall behavior is the long-measured default."""
+    if nms is not None:
+        return bool(nms)
+    return _turbo_nms_env() == "1"
 
 
 def _nms_merge() -> int:
@@ -215,6 +234,7 @@ def saddle_frontend_batch(
     use_pallas: bool = False,
     with_counters: bool = False,
     decimate: bool = False,
+    nms: bool | None = None,
 ):
     """Batched front-end. The Pallas kernels handle the batch dimension
     in their grids (pallas_call cannot be vmapped); everything else vmaps.
@@ -238,7 +258,7 @@ def saddle_frontend_batch(
         if _pallas_cluster_ok(h // 2, w // 2) and w < 2**16:
             # (w < 2**16: sparse-refine label/coord domain at FULL res)
             return _pallas_decimated_frontend_batch(
-                imgs, params, consts, caps, with_counters
+                imgs, params, consts, caps, with_counters, nms=nms
             )
         if h * w >= 2**24:  # large frame leaving the fast path: warn
             _warn_pallas_fallback(h, w, decimate)
@@ -357,6 +377,7 @@ def _pallas_decimated_frontend_batch(
     consts: PipelineConstants,
     caps: Capacities,
     with_counters: bool,
+    nms: bool | None = None,
     interpret: bool = False,
 ):
     """Decimated ("turbo") front-end on the Pallas kernels: the front
@@ -385,7 +406,7 @@ def _pallas_decimated_frontend_batch(
         channels=channels, u16=u16, tile_h=tile_h, interpret=interpret,
     )
     thr = jnp.min(tile_min, axis=(1, 2, 3)) * consts.response_threshold_ratio
-    if _turbo_nms():
+    if _resolve_nms(nms):
         # clustering-free extraction: dense NMS + per-cell selection
         # matmuls instead of the label fixpoint + serial root drain
         # (both resolution-invariant and the turbo throughput floor).

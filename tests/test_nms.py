@@ -171,3 +171,61 @@ def test_nms_e2e_matches_oracle(data_dir, name, merge):
     for tid, corners in ref.items():
         err = np.abs(np.asarray(corners) - np.asarray(got[tid])).max()
         assert err < 0.1, (tid, err)
+
+
+def test_turbo_nms_env_policy(monkeypatch):
+    """AG_TURBO_NMS policy resolution: "0"/empty force the drain,
+    "auto" (the default) defers to the facade chooser — callers
+    WITHOUT a chooser (xla mode, direct pipeline calls) resolve it to
+    the drain — and anything else forces the NMS kernel."""
+    from aprilgrid_tpu.pipeline import _resolve_nms, _turbo_nms_env
+
+    monkeypatch.delenv("AG_TURBO_NMS", raising=False)
+    assert _turbo_nms_env() == "auto"
+    assert _resolve_nms(None) is False  # auto w/o a chooser -> drain
+    monkeypatch.setenv("AG_TURBO_NMS", "0")
+    assert _turbo_nms_env() == "0" and _resolve_nms(None) is False
+    monkeypatch.setenv("AG_TURBO_NMS", "1")
+    assert _turbo_nms_env() == "1" and _resolve_nms(None) is True
+    monkeypatch.setenv("AG_TURBO_NMS", "auto")
+    # an explicit facade choice always wins over the env policy
+    assert _resolve_nms(True) is True and _resolve_nms(False) is False
+
+
+def test_choose_nms_picks_faster_and_caches(monkeypatch):
+    """The facade's online A/B (_choose_nms) times both extraction
+    variants, returns the faster one's (reusable) output, and caches
+    the decision per (h, w, chunk_len) so later batches skip the
+    probe."""
+    import time
+
+    from aprilgrid_tpu.detector import TagDetector
+
+    det = TagDetector("t36h11", use_pallas=False)
+    calls = []
+
+    def fake_fn(probe, decimate=False, nms=None):
+        calls.append(nms)
+        time.sleep(0.02 if nms else 0.001)  # drain faster here
+        b = probe.shape[0]
+        return (
+            jnp.full((b, 5, 4), 1.0 if nms else 2.0),
+            jnp.zeros((b, 8, 8), jnp.uint8),
+        )
+
+    # override the cached_property with the instrumented stand-in
+    det.__dict__["_frontend_packed_fn"] = fake_fn
+
+    imgs = jnp.zeros((4, 16, 16), jnp.uint8)
+    choice, reuse = det._choose_nms(imgs, (0, 4), (16, 16))
+    assert choice is False  # drain timed faster
+    # probe schedule: warm-up + 2 timed calls per variant
+    assert calls == [False, False, False, True, True, True]
+    assert reuse is not None
+    assert float(np.asarray(reuse[0])[0, 0, 0]) == 2.0  # winner's output
+    assert det._nms_auto == {(16, 16, 4): False}
+
+    # cached: no further probe calls, nothing to reuse
+    calls.clear()
+    choice2, reuse2 = det._choose_nms(imgs, (0, 4), (16, 16))
+    assert choice2 is False and reuse2 is None and calls == []
