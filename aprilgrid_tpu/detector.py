@@ -140,11 +140,6 @@ class TagDetector:
         if decimate not in (False, True, "auto"):
             raise ValueError(f"decimate must be False/True/'auto', got {decimate!r}")
         self.decimate = decimate
-        # turbo extraction-kernel choices made by the online A/B probe
-        # (AG_TURBO_NMS=auto): (h, w, chunk_len) -> bool (use the NMS
-        # kernel instead of the CCL drain). Persists per detector, so a
-        # stream pays the probe once per frame geometry.
-        self._nms_auto: dict[tuple, bool] = {}
 
     def _use_decimate(self, h: int, w: int) -> bool:
         """Resolve the ``decimate`` policy for an (h, w) frame: "auto"
@@ -344,57 +339,6 @@ class TagDetector:
             for i in range(res.ids.shape[0])
         ]
 
-    def _choose_nms(self, imgs, bounds0, hw):
-        """Online A/B for the turbo extraction kernel (AG_TURBO_NMS=auto,
-        the default): the hardware winner between the CCL fixpoint+drain
-        and the clustering-free NMS kernel is scene-dependent (two_boards
-        +4.6 % NMS, iphone -4.4 % — docs/ROADMAP.md round-4) and the
-        half-res candidate stats don't separate those scenes
-        (tools/probe_nms.py), so no static rule can pick it. Instead the
-        first batch of each (h, w, chunk_len) geometry times both
-        variants back-to-back in ONE relay window (cross-window timing
-        is invalid on this relay — CLAUDE.md) and the detector keeps the
-        winner for the stream's lifetime.
-
-        Probe schedule per variant: one warm-up call (absorbs
-        compilation — fresh HLOs cost minutes through the relay, warm
-        ones are cached) then two timed calls, scored by the min.
-        Timing syncs with a tiny host read (block_until_ready
-        under-reports through the relay). The winner's last output is
-        handed back so chunk 0's front-end is not re-run; the probe
-        therefore costs 5 extra chunk front-ends once per geometry —
-        amortized over a stream, and a mis-pick only costs the measured
-        ~5 % scene spread, so two timed samples are enough.
-
-        Both variants satisfy the same recall/corner contract
-        (tests/test_decimate.py, tests/test_nms.py); the choice changes
-        throughput only."""
-        import time
-
-        lo, hi = bounds0
-        key = (hw[0], hw[1], hi - lo)
-        cached = self._nms_auto.get(key)
-        if cached is not None:
-            return cached, None
-
-        probe = imgs[lo:hi]
-        best: dict[bool, float] = {}
-        outs: dict[bool, tuple] = {}
-        for v in (False, True):
-            out = self._frontend_packed_fn(probe, decimate=True, nms=v)
-            np.asarray(out[0][0, 0, 0])  # warm-up sync (compile lands here)
-            ts = []
-            for _ in range(2):
-                t0 = time.perf_counter()
-                out = self._frontend_packed_fn(probe, decimate=True, nms=v)
-                np.asarray(out[0][0, 0, 0])
-                ts.append(time.perf_counter() - t0)
-            best[v] = min(ts)
-            outs[v] = out
-        choice = best[True] < best[False]
-        self._nms_auto[key] = choice
-        return choice, outs[choice]
-
     def _detect_hybrid(
         self, imgs: np.ndarray, chunk: int | None = None, put=None
     ) -> list[dict[int, list[tuple[float, float]]]]:
@@ -447,17 +391,21 @@ class TagDetector:
         # asynchronously right at dispatch.
         fronts: list[tuple | None] = [None] * n_chunks
 
+        # Turbo extraction kernel: a STATIC, deterministic choice (the
+        # round-4 online timing probe was retired — it made corner
+        # coordinates depend on relay timing noise, and no front-end
+        # data statistic separates the scenes it tried to tell apart;
+        # see pipeline._turbo_nms_env). "auto" = NMS whenever the turbo
+        # fast path exists (scene-invariant cost, no serial drain);
+        # AG_TURBO_NMS=0/1 pins either kernel.
         dec = self._use_decimate(hw[0], hw[1])
         nms_flag: bool | None = None
         if dec and self.use_pallas:
-            from .pipeline import _turbo_nms_env
+            from .pipeline import _turbo_nms_env, turbo_fast_path_ok
 
             policy = _turbo_nms_env()
             if policy == "auto":
-                nms_flag, reuse = self._choose_nms(imgs, bounds[0], hw)
-                if reuse is not None:
-                    fronts[0] = reuse
-                    _copy_to_host_async(fronts[0][0])
+                nms_flag = turbo_fast_path_ok(hw[0], hw[1])
             else:
                 nms_flag = policy == "1"
 

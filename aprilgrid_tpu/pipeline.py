@@ -173,18 +173,36 @@ def _turbo_nms_env() -> str:
     """Turbo extraction-kernel policy from env ``AG_TURBO_NMS``:
     ``"0"`` forces the CCL fixpoint + root drain, ``"1"`` (or any other
     truthy value) forces the clustering-free NMS kernel (pallas/nms.py),
-    ``"auto"`` (the default) lets the hybrid facade's online chooser
-    time both variants and keep the faster one per (batch, shape) —
-    the round-4 hardware A/B measured the winner scene-dependent
-    (two_boards +4.6 % NMS, iphone −4.4 %; docs/ROADMAP.md) and the
-    half-res candidate stats are near-identical between those scenes,
-    so no static rule can pick it (tools/probe_nms.py)."""
+    ``"auto"`` (the default) statically picks the NMS kernel whenever
+    the turbo fast path supports it (``turbo_fast_path_ok``), else the
+    drain. The choice is STATIC and deterministic: the round-4 hardware
+    A/B measured the per-scene winner inside relay noise (two_boards
+    +4.6 % NMS, iphone −4.4 %, ±8-15 % relay swing) and every front-end
+    data statistic is near-identical between those scenes (blobs
+    1242/1236, peaks 507/502, gated saddles 462/471 —
+    tools/probe_nms.py), so no data-driven rule can separate them
+    either; a round-4 online timing probe was retired because it made
+    corner coordinates depend on relay timing noise (round-4 advisor
+    finding). NMS is the safer production default: its cost is
+    scene-invariant (no serial per-blob drain loop), while the drain
+    scales with blob count. Both variants meet the same recall/corner
+    contract on the golden scenes (tests/test_nms.py,
+    tests/test_decimate.py)."""
     import os
 
     v = os.environ.get("AG_TURBO_NMS", "auto")
     if v in ("0", ""):
         return "0"
     return v if v == "auto" else "1"
+
+
+def turbo_fast_path_ok(h: int, w: int) -> bool:
+    """Whether an (h, w) FULL-RESOLUTION frame takes the fused Pallas
+    turbo fast path (half-res cluster kernel + full-res sparse refine;
+    see ``_pallas_decimated_frontend_batch``'s gate). Outside this
+    domain the turbo mode falls back to the XLA ops path and the
+    drain/NMS extraction choice does not exist."""
+    return _pallas_cluster_ok(h // 2, w // 2) and w < 2**16
 
 
 def _resolve_nms(nms: bool | None) -> bool:
@@ -255,7 +273,7 @@ def saddle_frontend_batch(
 
     h, w = imgs.shape[1], imgs.shape[2]
     if decimate and use_pallas:
-        if _pallas_cluster_ok(h // 2, w // 2) and w < 2**16:
+        if turbo_fast_path_ok(h, w):
             # (w < 2**16: sparse-refine label/coord domain at FULL res)
             return _pallas_decimated_frontend_batch(
                 imgs, params, consts, caps, with_counters, nms=nms

@@ -175,14 +175,15 @@ def test_nms_e2e_matches_oracle(data_dir, name, merge):
 
 def test_turbo_nms_env_policy(monkeypatch):
     """AG_TURBO_NMS policy resolution: "0"/empty force the drain,
-    "auto" (the default) defers to the facade chooser — callers
-    WITHOUT a chooser (xla mode, direct pipeline calls) resolve it to
-    the drain — and anything else forces the NMS kernel."""
+    "auto" (the default) is resolved STATICALLY by the hybrid facade
+    (NMS iff the turbo fast path exists) — callers WITHOUT the facade
+    (xla mode, direct pipeline calls) resolve it to the drain — and
+    anything else forces the NMS kernel."""
     from aprilgrid_tpu.pipeline import _resolve_nms, _turbo_nms_env
 
     monkeypatch.delenv("AG_TURBO_NMS", raising=False)
     assert _turbo_nms_env() == "auto"
-    assert _resolve_nms(None) is False  # auto w/o a chooser -> drain
+    assert _resolve_nms(None) is False  # auto w/o the facade -> drain
     monkeypatch.setenv("AG_TURBO_NMS", "0")
     assert _turbo_nms_env() == "0" and _resolve_nms(None) is False
     monkeypatch.setenv("AG_TURBO_NMS", "1")
@@ -192,40 +193,19 @@ def test_turbo_nms_env_policy(monkeypatch):
     assert _resolve_nms(True) is True and _resolve_nms(False) is False
 
 
-def test_choose_nms_picks_faster_and_caches(monkeypatch):
-    """The facade's online A/B (_choose_nms) times both extraction
-    variants, returns the faster one's (reusable) output, and caches
-    the decision per (h, w, chunk_len) so later batches skip the
-    probe."""
-    import time
+def test_turbo_fast_path_domain():
+    """The facade's static NMS selector keys off turbo_fast_path_ok —
+    the same predicate saddle_frontend_batch uses to route to the fused
+    Pallas turbo path, so the selector can never pick a kernel the
+    frontend would not run (round-4 advisor finding: the retired timing
+    probe raced two identical computations outside this domain)."""
+    from aprilgrid_tpu.pipeline import _pallas_cluster_ok, turbo_fast_path_ok
 
-    from aprilgrid_tpu.detector import TagDetector
-
-    det = TagDetector("t36h11", use_pallas=False)
-    calls = []
-
-    def fake_fn(probe, decimate=False, nms=None):
-        calls.append(nms)
-        time.sleep(0.02 if nms else 0.001)  # drain faster here
-        b = probe.shape[0]
-        return (
-            jnp.full((b, 5, 4), 1.0 if nms else 2.0),
-            jnp.zeros((b, 8, 8), jnp.uint8),
-        )
-
-    # override the cached_property with the instrumented stand-in
-    det.__dict__["_frontend_packed_fn"] = fake_fn
-
-    imgs = jnp.zeros((4, 16, 16), jnp.uint8)
-    choice, reuse = det._choose_nms(imgs, (0, 4), (16, 16))
-    assert choice is False  # drain timed faster
-    # probe schedule: warm-up + 2 timed calls per variant
-    assert calls == [False, False, False, True, True, True]
-    assert reuse is not None
-    assert float(np.asarray(reuse[0])[0, 0, 0]) == 2.0  # winner's output
-    assert det._nms_auto == {(16, 16, 4): False}
-
-    # cached: no further probe calls, nothing to reuse
-    calls.clear()
-    choice2, reuse2 = det._choose_nms(imgs, (0, 4), (16, 16))
-    assert choice2 is False and reuse2 is None and calls == []
+    # golden-scene geometries: all inside the fast path
+    for h, w in [(1080, 1920), (1024, 1024), (2160, 3840)]:
+        assert turbo_fast_path_ok(h, w)
+        assert _pallas_cluster_ok(h // 2, w // 2)
+    # too short for one half-res sweep window -> no fast path
+    assert not turbo_fast_path_ok(240, 320)
+    # half-res width beyond the packed-label domain -> no fast path
+    assert not turbo_fast_path_ok(1024, 2**17 + 64)
