@@ -25,7 +25,19 @@ below X fps — the perf-regression gate (mirrors the reference wiring its
 benches into cargo's harness, /root/reference/Cargo.toml:47-53). Run it
 after a lever lands: ``python bench.py --assert-min=380`` (10 % under
 the last recorded 424.68 exact geomean, BENCH_r03.json).
-"""
+
+Hardware parity gate (default ON; ``BENCH_PARITY=0`` disables): every
+benched image's warm-up output — exact AND turbo modes — is checked on
+the actual backend against the NumPy oracle (the reference-exact twin,
+tests/test_detector.rs:25-33 strengthened per BASELINE.json): tag-ID
+sets must be EQUAL and every corner within 0.1 px. The two bundled
+images the reference does not bench (top_right, calib_sample) get a
+parity-only pass. Each JSON line carries ``corner_max_px`` and a final
+``parity max corner error`` line summarizes; any violation exits 3.
+This closes the round-4 gap where the CPU pytest suite runs Pallas in
+interpret mode and a Mosaic-lowering regression could ship a green
+round (the AG_EXTRACT=matmul incident: interpret-identical, hardware
+not)."""
 
 import json
 import math
@@ -82,7 +94,49 @@ def main() -> int:
     mode = f"{mode}+turbo" if decimate else mode
     images = IMAGES if scope == "geomean" else [("two_boards", 72)]
 
-    def bench_one(name, expect, d=None):
+    # -- hardware parity gate vs the NumPy oracle (reference-exact twin)
+    parity_on = os.environ.get("BENCH_PARITY", "1") not in ("0", "")
+    oracle_cache: dict = {}
+    parity_worst = {"err": 0.0, "where": None}
+    parity_failures: list = []
+
+    def oracle_detect(name):
+        if name not in oracle_cache:
+            from aprilgrid_tpu.oracle.numpy_ref import TagDetector as Oracle
+
+            img = load_image(f"tests/data/{name}.png")
+            oracle_cache[name] = Oracle("t36h11").detect(img)
+        return oracle_cache[name]
+
+    def check_parity(name, label, out0):
+        """IDs equal + corners < 0.1 px vs the oracle, on the REAL
+        backend output. Records the worst error; returns it for the
+        JSON line (None when the gate is off)."""
+        if not parity_on:
+            return None
+        ref = oracle_detect(name)
+        if set(out0) != set(ref):
+            parity_failures.append(
+                f"{label}: tag-ID set mismatch (missing "
+                f"{sorted(set(ref) - set(out0))[:8]}, extra "
+                f"{sorted(set(out0) - set(ref))[:8]})"
+            )
+            parity_worst.update(err=999.0, where=label)
+            return 999.0  # sentinel: ID-set mismatch (JSON-safe)
+        err = 0.0
+        for tid, ref_corners in ref.items():
+            d = np.abs(
+                np.asarray(out0[tid], np.float64)
+                - np.asarray(ref_corners, np.float64)
+            ).max()
+            err = max(err, float(d))
+        if err >= 0.1:
+            parity_failures.append(f"{label}: corner error {err:.4f} px")
+        if err > parity_worst["err"]:
+            parity_worst.update(err=err, where=label)
+        return round(err, 6)
+
+    def bench_one(name, expect, d=None, label=None):
         d = d or det
         img = load_image(f"tests/data/{name}.png")
         imgs = jnp.asarray(
@@ -92,12 +146,13 @@ def main() -> int:
         out = d.detect_batch(imgs)
         n_tags = len(out[0])
         assert n_tags == expect, f"{name}: expected {expect} tags, got {n_tags}"
+        cerr = check_parity(name, label or name, out[0])
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
             d.detect_batch(imgs)
             best = min(best, time.time() - t0)
-        return batch / best, n_tags, img.shape[:2]
+        return batch / best, n_tags, img.shape[:2], cerr
 
     fps_all = []
     for name, expect in images:
@@ -106,7 +161,7 @@ def main() -> int:
         last_err = None
         for attempt in range(3):
             try:
-                fps, n_tags, (h, w) = bench_one(name, expect)
+                fps, n_tags, (h, w), cerr = bench_one(name, expect)
                 break
             except Exception as e:  # noqa: BLE001 — retried, then surfaced
                 last_err = e
@@ -117,17 +172,15 @@ def main() -> int:
                   file=sys.stderr, flush=True)
             continue
         fps_all.append(fps)
-        print(
-            json.dumps(
-                {
-                    "metric": f"detect() {name} ({w}x{h}, {n_tags} tags, {mode})",
-                    "value": round(fps, 2),
-                    "unit": "fps/chip",
-                    "vs_baseline": round(fps / 2000.0, 4),
-                }
-            ),
-            flush=True,
-        )
+        line = {
+            "metric": f"detect() {name} ({w}x{h}, {n_tags} tags, {mode})",
+            "value": round(fps, 2),
+            "unit": "fps/chip",
+            "vs_baseline": round(fps / 2000.0, 4),
+        }
+        if cerr is not None:
+            line["corner_max_px"] = cerr
+        print(json.dumps(line), flush=True)
 
     if not fps_all:
         print(json.dumps({"metric": "detect() bench failed (all images)",
@@ -143,23 +196,23 @@ def main() -> int:
             turbo_det = TagDetector("t36h11", mode="hybrid", decimate="auto")
             turbo_fps = {}
             for name, expect in [("iphone", 66), ("two_boards", 72)]:
-                fps, n_tags, (h, w) = bench_one(name, expect, d=turbo_det)
-                turbo_fps[name] = fps
-                print(
-                    json.dumps(
-                        {
-                            "metric": (
-                                f"detect() {name} ({w}x{h}, {n_tags} tags, "
-                                "hybrid+turbo — approx mode, IDs exact, "
-                                "corners within 0.1 px of the reference)"
-                            ),
-                            "value": round(fps, 2),
-                            "unit": "fps/chip",
-                            "vs_baseline": round(fps / 2000.0, 4),
-                        }
-                    ),
-                    flush=True,
+                fps, n_tags, (h, w), cerr = bench_one(
+                    name, expect, d=turbo_det, label=f"{name} (turbo)"
                 )
+                turbo_fps[name] = fps
+                line = {
+                    "metric": (
+                        f"detect() {name} ({w}x{h}, {n_tags} tags, "
+                        "hybrid+turbo — approx mode, IDs exact, "
+                        "corners within 0.1 px of the reference)"
+                    ),
+                    "value": round(fps, 2),
+                    "unit": "fps/chip",
+                    "vs_baseline": round(fps / 2000.0, 4),
+                }
+                if cerr is not None:
+                    line["corner_max_px"] = cerr
+                print(json.dumps(line), flush=True)
             if len(fps_all) == len(images):
                 # turbo-auto geomean: sub-2MP scenes stay EXACT under the
                 # auto policy (same fps as above); only the two >= 2 MP
@@ -209,7 +262,7 @@ def main() -> int:
                 )
                 imgs = jnp.asarray(stack)
                 out = det.detect_batch(imgs)
-                for i in range(len(group)):
+                for i in range(min(len(group), batch)):
                     got, want = len(out[i]), group[i][1]
                     assert got == want, (
                         f"{label} frame {i} ({group[i][0]}): "
@@ -235,6 +288,51 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001 — info lines must not kill
             print(f"# mixed-batch lines skipped: {e!r}",
                   file=sys.stderr, flush=True)
+    # parity-only pass on the bundled images the reference does not
+    # bench (top_right: 1024x1024 16-bit; calib_sample: BASELINE
+    # config-1 frame) — sub-2 MP, so the turbo auto policy keeps them
+    # exact and one exact-mode pass covers both modes
+    if parity_on and scope == "geomean" and mode == "hybrid":
+        for name, expect in [("top_right", 36), ("calib_sample", 36)]:
+            try:
+                img = load_image(f"tests/data/{name}.png")
+                out = det.detect(img)
+                assert len(out) == expect, (
+                    f"{name}: expected {expect} tags, got {len(out)}"
+                )
+                cerr = check_parity(name, f"{name} (parity-only)", out)
+                print(
+                    json.dumps(
+                        {
+                            "metric": f"parity {name} (not benched "
+                            "upstream; IDs + corners vs oracle)",
+                            "value": float(len(out)),
+                            "unit": "tags",
+                            "vs_baseline": 1.0,
+                            "corner_max_px": cerr,
+                        }
+                    ),
+                    flush=True,
+                )
+            except Exception as e:  # noqa: BLE001 — surfaced via gate
+                parity_failures.append(f"{name} (parity-only): {e!r}")
+
+    if parity_on:
+        print(
+            json.dumps(
+                {
+                    "metric": "parity max corner error vs NumPy oracle "
+                    "(all images x exact+turbo, on this backend; "
+                    "gate: IDs equal AND < 0.1 px)",
+                    "value": round(parity_worst["err"], 6),
+                    "unit": "px",
+                    "vs_baseline": 1.0 if not parity_failures else 0.0,
+                    "worst_at": parity_worst["where"],
+                }
+            ),
+            flush=True,
+        )
+
     geo = math.exp(sum(math.log(f) for f in fps_all) / len(fps_all))
     headline = (
         f"detect() geomean fps over the 7 golden images ({mode} mode)"
@@ -263,6 +361,10 @@ def main() -> int:
                     file=sys.stderr,
                 )
                 return 2
+    if parity_failures:
+        for f in parity_failures:
+            print(f"# PARITY FAILURE: {f}", file=sys.stderr)
+        return 3
     return 0
 
 
