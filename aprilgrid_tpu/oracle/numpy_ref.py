@@ -32,16 +32,32 @@ _SRGB_LUMA = (0.2126, 0.7152, 0.0722)
 def to_luma32f(img: np.ndarray) -> np.ndarray:
     """DynamicImage::to_luma32f equivalent -> float32 gray in [0, 1].
 
-    Accepts (H, W) uint8 / uint16 or (H, W, 3) uint8 arrays.
+    Accepts every DynamicImage layout the reference converts at
+    src/detector.rs:409: (H, W) u8/u16/f32 gray, (H, W, 2) u8/u16
+    gray+alpha (alpha dropped, no premultiply — image-crate FromColor
+    semantics), and (H, W, 3|4) u8/u16/f32 RGB(A). RGB uses the crate's
+    Rec.709 float weights on normalized channels; integer gray scales
+    by the type maximum.
     """
+    if img.ndim == 3 and img.shape[2] == 2:
+        return to_luma32f(img[..., 0])  # LumaA: alpha is dropped
     if img.ndim == 2:
         if img.dtype == np.uint8:
             return img.astype(np.float32) / 255.0
         if img.dtype == np.uint16:
             return img.astype(np.float32) / 65535.0
+        if img.dtype in (np.float32, np.float64):
+            return img.astype(np.float32)  # Luma32F: identity
         raise TypeError(f"unsupported gray dtype {img.dtype}")
-    if img.ndim == 3 and img.shape[2] in (3, 4) and img.dtype == np.uint8:
-        rgb = img[..., :3].astype(np.float32) / 255.0
+    if img.ndim == 3 and img.shape[2] in (3, 4):
+        if img.dtype == np.uint8:
+            rgb = img[..., :3].astype(np.float32) / 255.0
+        elif img.dtype == np.uint16:
+            rgb = img[..., :3].astype(np.float32) / 65535.0
+        elif img.dtype in (np.float32, np.float64):
+            rgb = img[..., :3].astype(np.float32)
+        else:
+            raise TypeError(f"unsupported rgb dtype {img.dtype}")
         return (
             _SRGB_LUMA[0] * rgb[..., 0]
             + _SRGB_LUMA[1] * rgb[..., 1]
@@ -50,21 +66,48 @@ def to_luma32f(img: np.ndarray) -> np.ndarray:
     raise TypeError(f"unsupported image shape/dtype {img.shape} {img.dtype}")
 
 
+def _scale_u16_to_u8(v: np.ndarray) -> np.ndarray:
+    """Image-crate u16 -> u8 component conversion (rounding 255/65535)."""
+    return ((v.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+
+
 def to_luma8(img: np.ndarray) -> np.ndarray:
-    """DynamicImage::to_luma8 equivalent -> uint8 gray."""
+    """DynamicImage::to_luma8 equivalent -> uint8 gray.
+
+    Same input coverage as :func:`to_luma32f` (src/detector.rs:507).
+    Integer RGB uses the crate's integer luma path in the SOURCE
+    component domain — (2126 R + 7152 G + 722 B) / 10000 — then scales
+    the component to u8; float components clamp to [0, 1] and round
+    (f32::round: half away from zero)."""
+    if img.ndim == 3 and img.shape[2] == 2:
+        return to_luma8(img[..., 0])  # LumaA: alpha is dropped
     if img.ndim == 2:
         if img.dtype == np.uint8:
             return img
         if img.dtype == np.uint16:
             # u16 -> u8 with rounding scale by 255/65535.
-            return ((img.astype(np.uint32) * 255 + 32767) // 65535).astype(np.uint8)
+            return _scale_u16_to_u8(img)
+        if img.dtype in (np.float32, np.float64):
+            return rust_round(np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
         raise TypeError(f"unsupported gray dtype {img.dtype}")
-    if img.ndim == 3 and img.shape[2] in (3, 4) and img.dtype == np.uint8:
-        # Integer luma path of the image crate: (2126 R + 7152 G + 722 B) / 10000.
-        rgb = img[..., :3].astype(np.uint32)
-        return ((2126 * rgb[..., 0] + 7152 * rgb[..., 1] + 722 * rgb[..., 2]) // 10000).astype(
-            np.uint8
-        )
+    if img.ndim == 3 and img.shape[2] in (3, 4):
+        if img.dtype == np.uint8:
+            # Integer luma path: (2126 R + 7152 G + 722 B) / 10000.
+            rgb = img[..., :3].astype(np.uint32)
+            return (
+                (2126 * rgb[..., 0] + 7152 * rgb[..., 1] + 722 * rgb[..., 2])
+                // 10000
+            ).astype(np.uint8)
+        if img.dtype == np.uint16:
+            # luma in the u16 source domain, then component scale to u8
+            rgb = img[..., :3].astype(np.uint32)
+            luma16 = (
+                2126 * rgb[..., 0] + 7152 * rgb[..., 1] + 722 * rgb[..., 2]
+            ) // 10000
+            return _scale_u16_to_u8(luma16)
+        if img.dtype in (np.float32, np.float64):
+            return to_luma8(to_luma32f(img))
+        raise TypeError(f"unsupported rgb dtype {img.dtype}")
     raise TypeError(f"unsupported image shape/dtype {img.shape} {img.dtype}")
 
 
@@ -80,6 +123,10 @@ def load_image(path: str) -> np.ndarray:
             return arr
         if im.mode == "L":
             return np.array(im, dtype=np.uint8)
+        if im.mode == "LA":
+            return np.array(im, dtype=np.uint8)  # (H, W, 2) gray+alpha
+        if im.mode == "RGBA":
+            return np.array(im, dtype=np.uint8)  # alpha dropped downstream
         return np.array(im.convert("RGB"), dtype=np.uint8)
 
 

@@ -196,6 +196,48 @@ def _turbo_nms_env() -> str:
     return v if v == "auto" else "1"
 
 
+def normalize_raw_batch(imgs: jnp.ndarray) -> jnp.ndarray:
+    """Map the reference's full DynamicImage input contract
+    (src/detector.rs:409,507 accept ANY variant) onto the three raw
+    modes the Mosaic front kernels convert in-kernel (u8 gray, u16
+    gray, u8 RGB[A]):
+
+    * (B, H, W, 1) and (B, H, W, 2) — Luma(+alpha): channel 0 (the
+      image crate drops alpha without premultiplying);
+    * (B, H, W, 3|4) u16 — RGB(A)16: the crate's integer luma in the
+      u16 source domain (alpha dropped). The kernels then derive
+      luma8 bit-exactly (same u16->u8 component scale) while the f32
+      front-end plane becomes luma16/65535 instead of the float
+      Rec.709 sum — a <= 1.6e-5 luma quantization whose corner effect
+      is far below the 0.1 px budget (tests/test_input_modes.py);
+    * (B, H, W[, 3|4]) f32 — Luma32F/Rgb32F: float luma quantized to
+      u16 (round), same <= 1.6e-5 quantization note.
+
+    The XLA ops paths skip this and use ops/gray.py::to_luma, which is
+    exact for every mode."""
+    if imgs.ndim == 4 and imgs.shape[3] in (1, 2):
+        imgs = imgs[..., 0]
+    if imgs.ndim == 4 and imgs.shape[3] in (3, 4):
+        if imgs.dtype == jnp.uint16:
+            rgbi = imgs[..., :3].astype(jnp.int32)
+            luma16 = (
+                2126 * rgbi[..., 0] + 7152 * rgbi[..., 1] + 722 * rgbi[..., 2]
+            ) // 10000
+            imgs = luma16.astype(jnp.uint16)
+        elif imgs.dtype in (jnp.float32, jnp.float64):
+            rgbf = imgs[..., :3].astype(jnp.float32)
+            imgs = (
+                0.2126 * rgbf[..., 0]
+                + 0.7152 * rgbf[..., 1]
+                + 0.0722 * rgbf[..., 2]
+            )
+    if imgs.ndim == 3 and imgs.dtype in (jnp.float32, jnp.float64):
+        imgs = jnp.floor(
+            jnp.clip(imgs.astype(jnp.float32), 0.0, 1.0) * 65535.0 + 0.5
+        ).astype(jnp.uint16)
+    return imgs
+
+
 def turbo_fast_path_ok(h: int, w: int) -> bool:
     """Whether an (h, w) FULL-RESOLUTION frame takes the fused Pallas
     turbo fast path (half-res cluster kernel + full-res sparse refine;
@@ -271,6 +313,11 @@ def saddle_frontend_batch(
     """
     import jax
 
+    if use_pallas:
+        # exotic DynamicImage layouts (LumaA, RGB16, f32) fold onto the
+        # kernels' native raw modes; the XLA paths below handle them
+        # exactly via to_luma instead
+        imgs = normalize_raw_batch(imgs)
     h, w = imgs.shape[1], imgs.shape[2]
     if decimate and use_pallas:
         if turbo_fast_path_ok(h, w):

