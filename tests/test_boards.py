@@ -57,3 +57,73 @@ def test_first_marker_offset():
     img = render_png(board, pixels_per_mm=2.0)
     tags = Oracle("t36h11").detect(img)
     assert sorted(tags) == [10, 11, 12, 13]
+
+
+def _parse_pdf_rects(data: bytes):
+    """Minimal parser for our own vector-PDF structure: returns
+    (mediabox_pt, [(gray, x, y, w, h) in mm], ctm_scale)."""
+    import re
+
+    mb = re.search(rb"/MediaBox \[0 0 ([0-9.]+) ([0-9.]+)\]", data)
+    assert mb, "MediaBox missing"
+    mediabox = (float(mb.group(1)), float(mb.group(2)))
+    stream = data.split(b"stream\n", 1)[1].split(b"\nendstream", 1)[0]
+    lines = stream.decode("ascii").splitlines()
+    ctm = float(lines[0].split()[0])
+    rects = []
+    for ln in lines[1:]:
+        g, _g, x, y, w, h, _re, _f = ln.split()
+        rects.append((float(g), float(x), float(y), float(w), float(h)))
+    return mediabox, rects, ctm
+
+
+def test_pdf_true_physical_scale(tmp_path):
+    """The vector PDF is dimensionally exact (round-4 verdict item 6):
+    MediaBox is exactly page_{width,height}_meter, the mm->pt CTM is
+    72/25.4, every marker square measures marker_length_meter, and the
+    painted rects are _board_rects with the PDF's bottom-up y axis
+    (reference: cairosvg-rendered vector PDF,
+    /root/reference/scripts/generate_aprilgrid.py:1022-1023)."""
+    from aprilgrid_tpu.boards.generator import _board_rects, pdf_bytes
+
+    board = AprilGridBoard(size_x=3, size_y=2, tag_family="t36h11")
+    data = pdf_bytes(board)
+    assert data.startswith(b"%PDF-1.4")
+    mediabox, rects, ctm = _parse_pdf_rects(data)
+    page_w_mm = board.page_width_meter * 1000.0
+    page_h_mm = board.page_height_meter * 1000.0
+    assert abs(ctm - 72.0 / 25.4) < 1e-7
+    assert abs(mediabox[0] - page_w_mm * 72.0 / 25.4) < 1e-4
+    assert abs(mediabox[1] - page_h_mm * 72.0 / 25.4) < 1e-4
+    # every rect matches _board_rects (y flipped to PDF bottom-up)
+    expect = _board_rects(board)
+    assert len(rects) == len(expect)
+    marker_mm = board.marker_length_meter * 1000.0
+    n_markers = 0
+    for (g, x, y, w, h), (ex, ey, ew, eh, color) in zip(rects, expect):
+        assert g == (0.0 if color == "black" else 1.0)
+        assert abs(x - ex) < 1e-5 and abs(w - ew) < 1e-5
+        assert abs(h - eh) < 1e-5
+        assert abs(y - (page_h_mm - ey - eh)) < 1e-5
+        if abs(w - marker_mm) < 1e-6 and abs(h - marker_mm) < 1e-6:
+            n_markers += 1
+    # one true-scale marker square per tag
+    assert n_markers == board.size_x * board.size_y
+
+    # xref offsets must point at their "N 0 obj" headers (a broken
+    # xref still opens in lenient viewers but not in print pipelines)
+    import re
+
+    xref = data.split(b"xref\n", 1)[1].splitlines()
+    offsets = [int(l.split()[0]) for l in xref[2:6]]
+    for i, off in enumerate(offsets, start=1):
+        assert data[off:].startswith(f"{i} 0 obj".encode())
+
+
+def test_pdf_written_by_generate_chart(tmp_path):
+    board = AprilGridBoard(size_x=2, size_y=2, tag_family="t16h5")
+    written = generate_chart(board, tmp_path, formats=("pdf",))
+    data = written["pdf"].read_bytes()
+    assert data.startswith(b"%PDF-1.4") and data.rstrip().endswith(b"%%EOF")
+    # vector: no raster image XObjects anywhere
+    assert b"/Image" not in data and b"/DCTDecode" not in data
