@@ -144,24 +144,44 @@ def propose_expansions(
     radius_sq = jnp.stack([r01, r01, r32, r32], axis=1)  # (P, 4)
 
     # candidate pools: targets for corners 0/1 sit past s1; for 2/3 past
-    # s2 — prune the N-wide search to those endpoints' k-NN lists
-    pool = jnp.stack(
-        [knn[quads[:, 1]], knn[quads[:, 1]], knn[quads[:, 2]], knn[quads[:, 2]]],
-        axis=1,
-    )  # (P, 4, K)
-    pool_p = saddles.p[pool]  # (P, 4, K, 2)
+    # s2 — prune the N-wide search to those endpoints' k-NN lists.
+    # Corners 0/1 share one pool and 2/3 the other, so gather each ONCE
+    # ((P, 2, K) instead of (P, 4, K) — the pool gathers dominate this
+    # function's memory traffic on TPU) and broadcast to the 4 corners.
+    pool2 = jnp.stack([knn[quads[:, 1]], knn[quads[:, 2]]], axis=1)
+    pool2_p = saddles.p[pool2]        # (P, 2, K, 2)
+    pool2_alive = alive[pool2]        # (P, 2, K)
+    corner_src = jnp.asarray([0, 0, 1, 1])
+    pool = pool2[:, corner_src]       # (P, 4, K) — view, no new gather
+    pool_p = pool2_p[:, corner_src]
     d2 = jnp.sum((pool_p - targets[:, :, None, :]) ** 2, axis=-1)
     # the reference tree holds the round's surviving saddles (board-
     # consumed ones included — those are gated by `active` afterwards)
-    d2 = jnp.where(alive[pool], d2, jnp.inf)
-    neg, slot = lax.top_k(-d2, 3)  # (P, 4, 3) nearest-first
+    d2 = jnp.where(pool2_alive[:, corner_src], d2, jnp.inf)
+    # 3-NN by three masked argmin passes (bit-identical to lax.top_k's
+    # stable first-on-ties order; TPU lowers top_k to a full 64-wide
+    # sort, ~10x the cost of three lane reduces)
+    slots = []
+    negs = []
+    dcur = d2
+    for _ in range(3):
+        s = jnp.argmin(dcur, axis=-1)
+        v = jnp.take_along_axis(dcur, s[..., None], axis=-1)[..., 0]
+        slots.append(s)
+        negs.append(v)
+        dcur = jnp.where(
+            jnp.arange(dcur.shape[-1]) == s[..., None], jnp.inf, dcur
+        )
+    slot = jnp.stack(slots, axis=-1)             # (P, 4, 3) nearest-first
+    dist_sq = jnp.stack(negs, axis=-1)
     idx = jnp.take_along_axis(pool, slot, axis=-1)
-    dist_sq = -neg
+    t_cand = saddles.theta[idx]       # (P, 4, 3)
+    p_cand = jnp.take_along_axis(pool_p, slot[..., None], axis=2)
     ok = (
         jnp.isfinite(dist_sq)
         & (dist_sq <= radius_sq[..., None])
         & active[idx]
-        & (theta_distance_degree(t[..., None], saddles.theta[idx]) < 5.0)
+        & (theta_distance_degree(t[..., None], t_cand) < 5.0)
     )
 
     # Density-assumption audit (the reference queries a true kd-tree's
@@ -178,7 +198,11 @@ def propose_expansions(
     # benign — validated by golden/stress parity (PARITY.md #3).
     endpoints = jnp.stack([p[:, 1], p[:, 1], p[:, 2], p[:, 2]], axis=1)
     d2_ep = jnp.sum((pool_p - endpoints[:, :, None, :]) ** 2, axis=-1)
-    r_pool = jnp.sqrt(jnp.max(jnp.where(alive[pool], d2_ep, 0.0), axis=-1))
+    r_pool = jnp.sqrt(
+        jnp.max(
+            jnp.where(pool2_alive[:, corner_src], d2_ep, 0.0), axis=-1
+        )
+    )
     d_et = jnp.sqrt(jnp.sum((targets - endpoints) ** 2, axis=-1))
     d3 = jnp.sqrt(jnp.minimum(dist_sq[..., 2], jnp.float32(1e30)))
     covered = (d_et + d3 <= r_pool) | (jnp.sum(alive) <= pool.shape[-1])
@@ -189,17 +213,133 @@ def propose_expansions(
     order = jnp.argsort(~ok, axis=-1, stable=True)
     idx = jnp.take_along_axis(idx, order, axis=-1)
     ok = jnp.take_along_axis(ok, order, axis=-1)
+    t_cand = jnp.take_along_axis(t_cand, order, axis=-1)
+    p_cand = jnp.take_along_axis(p_cand, order[..., None], axis=2)
 
-    combos = jnp.asarray(_combo_index())  # (81, 4)
-    corner = jnp.arange(4)
-    cand = idx[:, corner[None, :], combos]        # (P, 81, 4)
-    cand_ok = ok[:, corner[None, :], combos].all(-1)
-    cand_ok &= is_valid_quad_idx(saddles, cand)
+    # -- is_valid_quad over the 3^4 candidate combos, DECOMPOSED -------
+    # The one-call-per-combo form gathered (P, 81, 4) positions/thetas
+    # and paid 7 transcendentals per combo. Every gate term of
+    # is_valid_quad (src/saddle.rs:17-67) depends on at most 3 of the 4
+    # corners, so each is evaluated ONCE on a (3, 3[, 3]) slot table —
+    # same f32 op sequences on the same values, so results are
+    # bit-identical — and the 81 combos only broadcast-AND the tables.
+    # No gathers, 117 atan2 instead of 405 per proposal. Corner roles:
+    # new quad = [s0, d0, s1, d1] = candidate corners [0, 1, 2, 3],
+    # combo axes named (i, j, k, l) for corners 0..3.
+    p0c, p1c, p2c, p3c = (p_cand[:, c] for c in range(4))  # (P, 3, 2)
+
+    def edge(pa_, pb_):  # pb[b] - pa[a] -> (P, a, b, 2)
+        return pb_[:, None, :, :] - pa_[:, :, None, :]
+
+    v01 = edge(p0c, p1c)  # axes (i, j)
+    v02 = edge(p0c, p2c)  # (i, k)
+    v03 = edge(p0c, p3c)  # (i, l)
+    v12 = edge(p1c, p2c)  # (j, k)
+    v23 = edge(p2c, p3c)  # (k, l)
+    v30 = edge(p3c, p0c)  # (l, i)
+
+    def crs(u, v, shared_last):
+        """cross(u[a, s], v[s, b]) -> (P, a, s, b) when the SECOND axis
+        of u equals the FIRST of v (shared_last=False: u[s, a], i.e.
+        share u's first axis with v's first: cross(u[s, a]... )"""
+        if shared_last:
+            return (
+                u[:, :, :, None, 0] * v[:, None, :, :, 1]
+                - u[:, :, :, None, 1] * v[:, None, :, :, 0]
+            )
+        return (
+            u[:, :, :, None, 0] * v[:, :, None, :, 1]
+            - u[:, :, :, None, 1] * v[:, :, None, :, 0]
+        )
+
+    def dt_(u, v, shared_last):
+        if shared_last:
+            return (
+                u[:, :, :, None, 0] * v[:, None, :, :, 0]
+                + u[:, :, :, None, 1] * v[:, None, :, :, 1]
+            )
+        return (
+            u[:, :, :, None, 0] * v[:, :, None, :, 0]
+            + u[:, :, :, None, 1] * v[:, :, None, :, 1]
+        )
+
+    def ang(c, d):
+        return jnp.degrees(jnp.arctan2(c, d))
+
+    # c0 = cross(v01, v02): share axis i -> (P, i, j, k)
+    c0x = crs(v01.transpose(0, 2, 1, 3), v02, True).transpose(0, 2, 1, 3)
+    # ^ v01 axes (i, j) -> (j, i) so the shared axis i sits adjacent;
+    #   result (P, j, i, k) -> (P, i, j, k)
+    c1x = crs(v02.transpose(0, 2, 1, 3), v03, True).transpose(0, 2, 1, 3)
+    # c1 = cross(v02, v03) -> (P, i, k, l)
+    c01x = crs(v01, v12, True)           # (P, i, j, k): share j
+    c12x = crs(v12, v23, True)           # (P, j, k, l): share k
+    a0 = ang(c01x, dt_(v01, v12, True))  # (P, i, j, k)
+    a1 = ang(c12x, dt_(v12, v23, True))  # (P, j, k, l)
+    c23_30 = crs(v23, v30, True)         # (P, k, l, i): share l
+    a2 = ang(c23_30, dt_(v23, v30, True))
+    c30_01 = crs(v30, v01, True)         # (P, l, i, j): share i
+    a3 = ang(c30_01, dt_(v30, v01, True))
+    dd01 = dt_(
+        v01.transpose(0, 2, 1, 3), v02, True
+    ).transpose(0, 2, 1, 3)              # dot(v01, v02) -> (P, i, j, k)
+    dd30 = dt_(
+        v03.transpose(0, 2, 1, 3), v02, True
+    ).transpose(0, 2, 1, 3)              # dot(v03, v02) -> (P, i, l, k)
+
+    # theta gate (d0 vs d1) -> (P, j, l)
+    th9 = theta_distance_degree(
+        t_cand[:, 1, :, None], t_cand[:, 3, None, :]
+    ) <= 5.0
+    # white-block: |angle(v02, theta-dir(s0))| in [60, 120] -> (P, i, k)
+    rad = jnp.radians(t_cand[:, 0])                  # (P, 3)
+    vtx, vty = jnp.cos(rad), jnp.sin(rad)
+    wang = jnp.abs(
+        ang(
+            v02[..., 0] * vty[:, :, None] - v02[..., 1] * vtx[:, :, None],
+            v02[..., 0] * vtx[:, :, None] + v02[..., 1] * vty[:, :, None],
+        )
+    )
+    w9 = (wang >= 60.0) & (wang <= 120.0)
+
+    # combine on (P, i, j, k, l); row-major reshape = the reference's
+    # idx0-outermost..idx3-innermost nesting (_combo_index order)
+    P_ = quads.shape[0]
+    ok_q = (
+        th9[:, None, :, None, :]
+        & w9[:, :, None, :, None]
+        & (c0x[..., None] * c1x[:, :, None, :, :] >= 0.0)
+        & (c01x[..., None] * c12x[:, None, :, :, :] >= 0.0)
+        & (
+            jnp.abs(a0[..., None] - a2.transpose(0, 3, 1, 2)[:, :, None])
+            <= 10.0
+        )
+        & (
+            jnp.abs(
+                a1[:, None] - a3.transpose(0, 2, 3, 1)[:, :, :, None, :]
+            )
+            <= 10.0
+        )
+        & (dd01[..., None] >= 0.0)
+        & (dd30.transpose(0, 1, 3, 2)[:, :, None] >= 0.0)
+        & ok[:, 0, :, None, None, None]
+        & ok[:, 1, None, :, None, None]
+        & ok[:, 2, None, None, :, None]
+        & ok[:, 3, None, None, None, :]
+    )
+    cand_ok = ok_q.reshape(P_, 81)
 
     first = jnp.argmax(cand_ok, axis=-1)          # (P,) first valid combo
-    new_quads = jnp.take_along_axis(
-        cand, first[:, None, None].repeat(4, -1), axis=1
-    )[:, 0]
+    fi, fj, fk, fl = first // 27, (first // 9) % 3, (first // 3) % 3, first % 3
+    new_quads = jnp.stack(
+        [
+            jnp.take_along_axis(idx[:, 0], fi[:, None], axis=-1)[:, 0],
+            jnp.take_along_axis(idx[:, 1], fj[:, None], axis=-1)[:, 0],
+            jnp.take_along_axis(idx[:, 2], fk[:, None], axis=-1)[:, 0],
+            jnp.take_along_axis(idx[:, 3], fl[:, None], axis=-1)[:, 0],
+        ],
+        axis=-1,
+    )
     return new_quads, cand_ok.any(axis=-1), pool_overflow
 
 

@@ -25,6 +25,9 @@ from .geometry import cross, is_valid_quad, theta_distance_degree
 class QuadSet(NamedTuple):
     quads: jnp.ndarray  # (MQ, 4) int32 saddle indices [s0, d0, s1, d1]
     valid: jnp.ndarray  # (MQ,) bool
+    overflow: jnp.ndarray  # () int32 — cheap-gate survivors dropped at
+    #                        the exact-phase capacity (see init_quads;
+    #                        0 on every golden/stress scene)
 
 
 @functools.lru_cache(maxsize=None)
@@ -38,11 +41,31 @@ def _pair_enum(nn: int) -> tuple[np.ndarray, np.ndarray]:
     return np.array(pa, np.int32), np.array(pb, np.int32)
 
 
-def init_quads(saddles, alive: jnp.ndarray, s0_idx: jnp.ndarray, nn: int, max_quads: int) -> QuadSet:
+def init_quads(
+    saddles,
+    alive: jnp.ndarray,
+    s0_idx: jnp.ndarray,
+    nn: int,
+    max_quads: int,
+    cheap_cap: int = 2048,
+) -> QuadSet:
     """Candidate quads seeded at ``s0_idx`` (src/detector.rs:543-586).
 
     ``alive`` masks the saddles currently in play (reference passes an
     already-filtered list; we mask instead of re-indexing).
+
+    Two-phase evaluation (round-5 xla-mode rescue): the (k x C(k,2))
+    combination sweep — 61k combos at k=50 — first runs only the
+    TRIG-FREE gates of is_valid_quad (theta partition, cross-sign
+    convexity, dot orientation, plus the per-s1 white-block angle:
+    k atan2 instead of 61k x 5). Survivors (measured <= ~1000 per seed
+    on the golden scenes, tools: round-5 probe) are compacted to
+    ``cheap_cap`` and only they pay the full exact predicate — a ~30x
+    transcendental cut with BIT-IDENTICAL results: phase 1 evaluates
+    the same f32 expressions as is_valid_quad's corresponding gates, so
+    phase 2's extra gates decide exactly the combos the one-phase sweep
+    would have accepted. ``overflow`` counts dropped survivors
+    (0 everywhere it was measured; audited via DetectResult.flags).
     """
     n = saddles.valid.shape[0]
     k = min(nn, n)
@@ -66,40 +89,95 @@ def init_quads(saddles, alive: jnp.ndarray, s0_idx: jnp.ndarray, nn: int, max_qu
     pa = jnp.asarray(pa)
     pb = jnp.asarray(pb)
 
-    s1_i = nn_idx[:, None]                     # (k, 1)
-    d0_i = nn_idx[pa][None, :]                 # (1, P)
-    d1_i = nn_idx[pb][None, :]
+    # -- phase 1: trig-free gates on small per-slot tables ------------
+    pk = saddles.p[nn_idx]            # (k, 2) neighbor positions
+    v0j = pk - p0                     # (k, 2): v01[d0], v02[s1], v03[d1]
+    # white-block angle: depends on s1 only — k atan2, not 61k
+    rad = jnp.radians(t0)
+    v_theta = jnp.stack([jnp.cos(rad), jnp.sin(rad)], axis=-1)
+    wang = jnp.abs(
+        jnp.degrees(
+            jnp.arctan2(
+                v0j[:, 0] * v_theta[1] - v0j[:, 1] * v_theta[0],
+                v0j[:, 0] * v_theta[0] + v0j[:, 1] * v_theta[1],
+            )
+        )
+    )
+    white_ok = (wang >= 60.0) & (wang <= 120.0)  # (k,) per s1
+
+    # cross/dot tables over (slot_a, slot_b) — the SAME f32 op sequences
+    # as is_valid_quad's c0/c1/c01/c12 and dot gates (mul, mul, sub on
+    # identical values), so phase 1 can never reject a combo phase 2
+    # would accept
+    cr = v0j[:, None, 0] * v0j[None, :, 1] - v0j[:, None, 1] * v0j[None, :, 0]
+    dt = v0j[:, None, 0] * v0j[None, :, 0] + v0j[:, None, 1] * v0j[None, :, 1]
+    # edge-difference table: e[a, b] = p[b] - p[a] (v12 at [d0, s1],
+    # v23 at [s1, d1] — the reference derives both from positions, not
+    # from v0j differences, so these are computed from positions too)
+    ex = pk[None, :, 0] - pk[:, None, 0]
+    ey = pk[None, :, 1] - pk[:, None, 1]
+    # c01 = cross(v01, v12): table over (d0, s1)
+    c01_t = v0j[:, None, 0] * ey - v0j[:, None, 1] * ex
+
+    # per-combo assembly on (k_s1, P_pairs)
+    c0_kp = cr[pa, :].T          # cr[d0, s1] = cross(v01, v02)
+    c1_kp = cr[:, pb]            # cr[s1, d1] = cross(v02, v03)
+    c01_kp = c01_t[pa, :].T
+    dot01_kp = dt[pa, :].T       # dt[d0, s1] = dot(v01, v02)
+    dot31_kp = dt[pb, :].T       # dt[d1, s1] = dot(v03, v02)
+    # c12 = cross(v12, v23): triple (d0, s1, d1) assembled from the
+    # edge tables — x12*y23 - y12*x23, matching cross()'s op order
+    c12_kp = ex[pa, :].T * ey[:, pb] - ey[pa, :].T * ex[:, pb]
 
     cand_ok = same[:, None] & diff[pa][None, :] & diff[pb][None, :]
+    cheap_ok = (
+        cand_ok
+        & white_ok[:, None]
+        & (c0_kp * c1_kp >= 0.0)
+        & (c01_kp * c12_kp >= 0.0)
+        & (dot01_kp >= 0.0)
+        & (dot31_kp >= 0.0)
+    )
+
+    # -- phase 2: exact predicate on the compacted survivors ----------
+    flat_cheap = cheap_ok.reshape(-1)
+    total = flat_cheap.shape[0]
+    cap = min(cheap_cap, total)
+    (surv,) = jnp.nonzero(flat_cheap, size=cap, fill_value=total)
+    s_live = surv < total
+    s_safe = jnp.minimum(surv, total - 1)
+    overflow = (
+        jnp.sum(flat_cheap).astype(jnp.int32) - s_live.sum().astype(jnp.int32)
+    )
+    s1_g = nn_idx[s_safe // pa.shape[0]]
+    d0_g = nn_idx[pa[s_safe % pa.shape[0]]]
+    d1_g = nn_idx[pb[s_safe % pa.shape[0]]]
     geom_ok = is_valid_quad(
         p0, t0,
-        saddles.p[d0_i], saddles.theta[d0_i],
-        saddles.p[s1_i],
-        saddles.p[d1_i], saddles.theta[d1_i],
+        saddles.p[d0_g], saddles.theta[d0_g],
+        saddles.p[s1_g],
+        saddles.p[d1_g], saddles.theta[d1_g],
     )
-    ok = cand_ok & geom_ok
+    ok = s_live & geom_ok
 
     # CCW/CW orientation: swap d0/d1 when cross(v01, v02) <= 0
-    v01 = saddles.p[d0_i] - p0
-    v02 = saddles.p[s1_i] - p0
+    v01 = saddles.p[d0_g] - p0
+    v02 = saddles.p[s1_g] - p0
     pos = cross(v01, v02) > 0.0
-    qa = jnp.where(pos, d0_i, d1_i)
-    qb = jnp.where(pos, d1_i, d0_i)
-
-    s1_b = jnp.broadcast_to(s1_i, qa.shape)
-    flat_ok = ok.reshape(-1)
-    flat_quads = jnp.stack(
+    qa = jnp.where(pos, d0_g, d1_g).astype(jnp.int32)
+    qb = jnp.where(pos, d1_g, d0_g).astype(jnp.int32)
+    quads_c = jnp.stack(
         [
-            jnp.full(qa.size, s0_idx, jnp.int32).reshape(qa.shape).reshape(-1),
-            qa.reshape(-1).astype(jnp.int32),
-            s1_b.reshape(-1).astype(jnp.int32),
-            qb.reshape(-1).astype(jnp.int32),
+            jnp.full(qa.shape, s0_idx, jnp.int32),
+            qa,
+            s1_g.astype(jnp.int32),
+            qb,
         ],
         axis=-1,
-    )
+    )  # (cap, 4), in flat (s1-major, pair-minor) order = reference order
 
-    total = flat_ok.shape[0]
-    (sel,) = jnp.nonzero(flat_ok, size=max_quads, fill_value=total)
-    valid = sel < total
-    safe = jnp.minimum(sel, total - 1)
-    return QuadSet(quads=flat_quads[safe], valid=valid)
+    # final selection: first max_quads valid, preserving order
+    (sel,) = jnp.nonzero(ok, size=max_quads, fill_value=cap)
+    valid = sel < cap
+    safe = jnp.minimum(sel, cap - 1)
+    return QuadSet(quads=quads_c[safe], valid=valid, overflow=overflow)

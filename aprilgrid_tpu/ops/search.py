@@ -112,8 +112,10 @@ def find_best_board(
         )(b_q, b_ok)
         # density-audit counts accumulate over EVERY candidate grown,
         # not just the winner — an overflow in a LOSING board may be
-        # exactly why it lost, and must still be surfaced
+        # exactly why it lost, and must still be surfaced. init_quads'
+        # cheap-gate compaction overflow rides the same audit channel.
         audit = audit + jnp.sum(jnp.where(b_ok, boards.pruned, 0))
+        audit = audit + jnp.sum(jnp.where(s_ok, qs.overflow, 0))
         scores = jnp.where(b_ok, boards.score, 0)
         # The reference checks the early-exit score after each SEED's
         # candidate loop: once a seed's best board reaches it, later

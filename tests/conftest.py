@@ -43,31 +43,77 @@ def data_dir() -> Path:
     return DATA_DIR
 
 
-def make_stress_scene(seed: int):
-    """Randomized synthetic chart scene (rotation/scale/offset/noise);
-    shared by the stress-parity and xla-mode suites."""
+def _warp_chart(rng, chart, lo=0.6, hi=0.9, max_angle=40.0):
+    """Rotate/scale a rendered chart (BILINEAR, gray 160 fill)."""
     import numpy as np
     from PIL import Image
 
-    from aprilgrid_tpu.boards.generator import AprilGridBoard, render_png
-
-    rng = np.random.default_rng(seed)
-    board = AprilGridBoard(
-        size_x=4, size_y=4, tag_family="t36h11",
-        page_width_meter=0.5, page_height_meter=0.5,
-    )
-    chart = render_png(board, pixels_per_mm=1.0)
     im = Image.fromarray(chart)
-    angle = float(rng.uniform(-40, 40))
-    scale = float(rng.uniform(0.6, 0.9))
+    angle = float(rng.uniform(-max_angle, max_angle))
+    scale = float(rng.uniform(lo, hi))
     im = im.rotate(angle, resample=Image.BILINEAR, expand=True, fillcolor=160)
     im = im.resize(
         (int(im.width * scale), int(im.height * scale)), Image.BILINEAR
     )
-    canvas = np.full((820, 820), 160, np.uint8)
-    arr = np.asarray(im)
+    return np.asarray(im)
+
+
+def make_stress_scene(seed: int, kind: str = "u8"):
+    """Randomized synthetic chart scene (rotation/scale/offset/noise);
+    shared by the stress-parity and xla-mode suites.
+
+    ``kind`` covers the three input classes of the bundled photo set
+    (SURVEY.md §2b data row: 8-bit gray, 16-bit gray, RGB) plus the
+    two-board layout (two_boards.png's max_num_of_boards=2 loop):
+
+    * ``"u8"`` — (820, 820) uint8 gray (the original class);
+    * ``"u16"`` — same scene at genuine 16-bit depth (the float canvas
+      quantized to u16 BEFORE any 8-bit rounding, so sub-u8 noise
+      survives like in the TUM_VI captures);
+    * ``"rgb"`` — (820, 820, 3) uint8 with random per-channel gains
+      (chromatic, like the iphone captures; luma keeps the contrast);
+    * ``"two_boards"`` — (820, 1400) uint8 with two non-overlapping
+      boards (first_marker 0 and 16).
+    """
+    import numpy as np
+
+    from aprilgrid_tpu.boards.generator import AprilGridBoard, render_png
+
+    rng = np.random.default_rng(seed)
+
+    def render(first_marker=0):
+        board = AprilGridBoard(
+            size_x=4, size_y=4, tag_family="t36h11",
+            page_width_meter=0.5, page_height_meter=0.5,
+            first_marker=first_marker,
+        )
+        return render_png(board, pixels_per_mm=1.0)
+
+    if kind == "two_boards":
+        canvas = np.full((820, 1400), 160.0, np.float32)
+        for first, x0, x1 in ((0, 0, 700), (16, 700, 1400)):
+            arr = _warp_chart(rng, render(first), lo=0.5, hi=0.7)
+            oy = int(rng.integers(0, 820 - arr.shape[0]))
+            ox = int(rng.integers(x0, x1 - arr.shape[1]))
+            canvas[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
+        canvas += rng.normal(0, 3, canvas.shape)
+        return np.clip(canvas, 0, 255).astype(np.uint8)
+
+    arr = _warp_chart(rng, render())
+    canvas = np.full((820, 820), 160.0, np.float32)
     oy = int(rng.integers(0, 820 - arr.shape[0]))
     ox = int(rng.integers(0, 820 - arr.shape[1]))
     canvas[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = arr
-    noise = rng.normal(0, 3, canvas.shape)
-    return np.clip(canvas.astype(np.float32) + noise, 0, 255).astype(np.uint8)
+    canvas = canvas + rng.normal(0, 3, canvas.shape)
+    if kind == "u8":
+        return np.clip(canvas, 0, 255).astype(np.uint8)
+    if kind == "u16":
+        # quantize the float scene straight to 16 bits: sub-u8-LSB
+        # structure survives, like the bundled I;16 captures
+        return np.clip(np.round(canvas * 257.0), 0, 65535).astype(np.uint16)
+    if kind == "rgb":
+        gains = rng.uniform(0.82, 1.0, size=3)
+        gains[rng.integers(0, 3)] = 1.0  # keep one channel at full swing
+        rgb = canvas[..., None] * gains[None, None, :]
+        return np.clip(rgb, 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown stress-scene kind {kind!r}")

@@ -48,12 +48,25 @@ def test_xla_mode_golden(detector, data_dir, name, expected):
         assert err < 0.1, (tid, err)
 
 
-@pytest.mark.parametrize("seed", [1, 7])
-def test_xla_mode_stress_scene(detector, seed):
-    img = _scene(seed)
+@pytest.mark.parametrize(
+    "seed,kind",
+    [
+        (1, "u8"), (7, "u8"),
+        # the three input classes of the bundled photos + two-board
+        # layouts, through the whole-pipeline-in-one-jit mode too
+        # (round-5 verdict item 7)
+        (2, "u16"), (5, "u16"),
+        (3, "rgb"), (5, "rgb"),
+        (1, "two_boards"), (9, "two_boards"),
+    ],
+)
+def test_xla_mode_stress_scene(detector, seed, kind):
+    img = _scene(seed, kind=kind)
     ref = Oracle("t36h11").detect(img)
     got = detector.detect(img)
     assert set(got) == set(ref)
     for tid in got:
         err = np.abs(np.asarray(got[tid]) - np.asarray(ref[tid])).max()
-        assert err < 0.1, (seed, tid, err)
+        assert err < 0.1, (seed, kind, tid, err)
+    if kind == "two_boards":
+        assert any(t < 16 for t in ref) and any(t >= 16 for t in ref)
