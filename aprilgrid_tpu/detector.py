@@ -395,9 +395,15 @@ class TagDetector:
         # round-4 online timing probe was retired — it made corner
         # coordinates depend on relay timing noise, and no front-end
         # data statistic separates the scenes it tried to tell apart;
-        # see pipeline._turbo_nms_env). "auto" = NMS whenever the turbo
-        # fast path exists (scene-invariant cost, no serial drain);
-        # AG_TURBO_NMS=0/1 pins either kernel.
+        # see pipeline._turbo_nms_env). The round-4 A/Bs show the
+        # per-scene "winner" tracks HOST/DEVICE overlap, not kernel
+        # speed (the front-end stats of the two scenes are near-
+        # identical): on a 1-core host the host-bound no-board scenes
+        # hide their search time behind the slower drain kernel, while
+        # any multi-core host is device-bound and wants the cheaper
+        # scene-invariant NMS kernel. So "auto" keys on the same host
+        # property AG_SEARCH_ASYNC already uses: NMS iff the fast path
+        # exists AND the host has >1 core; AG_TURBO_NMS=0/1 pins.
         dec = self._use_decimate(hw[0], hw[1])
         nms_flag: bool | None = None
         if dec and self.use_pallas:
@@ -405,7 +411,9 @@ class TagDetector:
 
             policy = _turbo_nms_env()
             if policy == "auto":
-                nms_flag = turbo_fast_path_ok(hw[0], hw[1])
+                nms_flag = turbo_fast_path_ok(hw[0], hw[1]) and (
+                    (os.cpu_count() or 1) > 1
+                )
             else:
                 nms_flag = policy == "1"
 

@@ -173,20 +173,20 @@ def _turbo_nms_env() -> str:
     """Turbo extraction-kernel policy from env ``AG_TURBO_NMS``:
     ``"0"`` forces the CCL fixpoint + root drain, ``"1"`` (or any other
     truthy value) forces the clustering-free NMS kernel (pallas/nms.py),
-    ``"auto"`` (the default) statically picks the NMS kernel whenever
-    the turbo fast path supports it (``turbo_fast_path_ok``), else the
-    drain. The choice is STATIC and deterministic: the round-4 hardware
-    A/B measured the per-scene winner inside relay noise (two_boards
-    +4.6 % NMS, iphone −4.4 %, ±8-15 % relay swing) and every front-end
-    data statistic is near-identical between those scenes (blobs
-    1242/1236, peaks 507/502, gated saddles 462/471 —
-    tools/probe_nms.py), so no data-driven rule can separate them
-    either; a round-4 online timing probe was retired because it made
-    corner coordinates depend on relay timing noise (round-4 advisor
-    finding). NMS is the safer production default: its cost is
-    scene-invariant (no serial per-blob drain loop), while the drain
-    scales with blob count. Both variants meet the same recall/corner
-    contract on the golden scenes (tests/test_nms.py,
+    ``"auto"`` (the default) makes a STATIC, deterministic choice in
+    the hybrid facade: NMS iff the turbo fast path supports it
+    (``turbo_fast_path_ok``) AND the host has more than one core, else
+    the drain. Rationale: every front-end data statistic is
+    near-identical between the scenes whose round-4 hardware winners
+    differed (blobs 1242/1236, peaks 507/502, gated saddles 462/471 —
+    tools/probe_nms.py), so the winner tracks HOST/DEVICE overlap, not
+    kernel speed — a host property, keyed like AG_SEARCH_ASYNC: 1-core
+    hosts are host-search-bound and hide that time behind the slower
+    drain; multi-core hosts are device-bound and want the cheaper
+    scene-invariant NMS kernel. A round-4 online timing probe was
+    retired because it made corner coordinates depend on relay timing
+    noise (round-4 advisor finding). Both variants meet the same
+    recall/corner contract on the golden scenes (tests/test_nms.py,
     tests/test_decimate.py)."""
     import os
 
