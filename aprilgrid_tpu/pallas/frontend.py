@@ -316,9 +316,24 @@ def pad_raw(img: jnp.ndarray, tile_h: int = 64):
     double-height turbo front-end (extra rows are edge replicas the
     kernels mask; the cluster/refine consumers only need Hp >= their own
     window arithmetic, which a larger pad always satisfies)."""
+    if img.ndim == 4 and img.shape[3] == 4 and img.dtype == jnp.uint8:
+        img = img[..., :3]  # alpha is ignored (ops/gray.py semantics)
     b, hgt, wid = img.shape[:3]
     channels = img.shape[3] if img.ndim == 4 else 1
     u16 = bool(img.dtype == jnp.uint16)
+    # the in-kernel gray conversion handles exactly three raw modes;
+    # anything else (LA, RGB16, f32 — the wider DynamicImage contract)
+    # must be folded first by pipeline.normalize_raw_batch, which the
+    # detector facade does. Direct kernel callers get a hard error
+    # instead of silently wrong luma.
+    if channels not in (1, 3) or (u16 and channels != 1) or (
+        img.dtype not in (jnp.uint8, jnp.uint16)
+    ):
+        raise TypeError(
+            f"pad_raw: unsupported raw mode (channels={channels}, "
+            f"dtype={img.dtype}); fold exotic DynamicImage modes with "
+            "pipeline.normalize_raw_batch first"
+        )
     h_pad = -(-hgt // tile_h) * tile_h
     w_pad = -(-wid // 128) * 128
     # 8 edge rows above and >= 8 below so every DMA window is in range

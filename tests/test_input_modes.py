@@ -154,3 +154,21 @@ def test_adapter_widened_modes():
         to_detector_input(np.zeros((h, w, 5), np.uint8))
     with pytest.raises(TypeError):
         to_detector_input(np.zeros((h, w), np.int32))
+
+
+def test_pad_raw_rejects_exotic_modes():
+    """Direct kernel callers (row-sharded front-ends) get a hard error
+    for modes the in-kernel gray conversion cannot handle, instead of
+    silently wrong luma; RGBA8 strips alpha like ops/gray.py."""
+    from aprilgrid_tpu.pallas.frontend import pad_raw
+
+    rgba8 = jnp.zeros((1, 64, 128, 4), jnp.uint8)
+    out, h, w, channels, u16 = pad_raw(rgba8)
+    assert channels == 3 and not u16
+    for bad in (
+        jnp.zeros((1, 64, 128, 2), jnp.uint8),    # LA8
+        jnp.zeros((1, 64, 128, 3), jnp.uint16),   # RGB16
+        jnp.zeros((1, 64, 128), jnp.float32),     # L32F
+    ):
+        with pytest.raises(TypeError):
+            pad_raw(bad)
