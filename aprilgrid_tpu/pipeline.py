@@ -642,13 +642,26 @@ def detect_tail(
             consts.max_seeds,
             consts.early_exit_score,
         )
-        quad_idx = res.board.cell_quad                    # (G2, 4)
-        tag_valid = res.board.placed & res.found
-        quad_pos = saddles.p[jnp.maximum(quad_idx, 0)]    # (G2, 4, 2)
+        tag_valid = res.board.placed & res.found          # (G2,)
+        # compact the placed cells to the decode capacity before
+        # decoding (round-5: the grid holds G2 = (2R+1)^2 = 625 cells
+        # but a real board places <= ~54 — decoding at G2 paid 5-12x
+        # the bit-sampling gathers and hamming matmuls for padding).
+        # Same max_tags-derived capacity policy as the hybrid dcap;
+        # overflow rides the pruned audit channel.
+        g2 = tag_valid.shape[0]
+        dcap = min(g2, 2 * caps.max_tags)
+        (sel,) = jnp.nonzero(tag_valid, size=dcap, fill_value=g2)
+        live = sel < g2
+        quad_idx = res.board.cell_quad[jnp.minimum(sel, g2 - 1)]  # (dcap, 4)
+        pruned = pruned + (
+            tag_valid.sum() - live.sum()
+        ).astype(jnp.float32)
+        quad_pos = saddles.p[jnp.maximum(quad_idx, 0)]    # (dcap, 4, 2)
         decoded = decode_quads(
             luma8,
             quad_pos,
-            tag_valid,
+            live,
             spec,
             consts.decode_margin,
             consts.valid_brightness_threshold,
