@@ -65,6 +65,9 @@ class Capacities:
     max_boards: int = 32          # boards grown concurrently per seed group
     seeds_per_group: int = 1      # seeds batched per early-exit check
     max_attempts: int = 64        # frontier expansion attempts per sweep
+    knn_pool: int = 64            # xla-mode expansion candidate pool per
+    #                               edge endpoint (ops/board.py::knn_table;
+    #                               audited — golden parity holds down to 32)
     grid_radius: int = 12         # board grid coords in [-R, R] (6x11 fits)
     max_tags: int = 96            # decoded tags per board pass
     label_prop_rounds: int = 64   # cap on labeling rounds (converges early)

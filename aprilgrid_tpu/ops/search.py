@@ -63,6 +63,7 @@ def find_best_board(
     max_attempts: int,
     max_seeds: int,
     early_exit_score: int,
+    knn_pool: int = 64,
 ) -> SearchResult:
     """try_find_best_board (src/detector.rs:588-639) on fixed-capacity
     arrays. ``alive`` plays the role of the re-filtered refined list."""
@@ -71,7 +72,7 @@ def find_best_board(
 
     seed_idx, seed_ok = _seed_order(saddles, alive, max_seeds)
     num_groups = -(-max_seeds // seeds_per_group)
-    knn = knn_table(saddles, alive)
+    knn = knn_table(saddles, alive, knn_pool)
 
     def empty_board() -> BoardState:
         return BoardState(

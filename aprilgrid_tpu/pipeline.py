@@ -641,6 +641,7 @@ def detect_tail(
             caps.max_attempts,
             consts.max_seeds,
             consts.early_exit_score,
+            caps.knn_pool,
         )
         tag_valid = res.board.placed & res.found          # (G2,)
         # compact the placed cells to the decode capacity before
