@@ -238,54 +238,39 @@ def propose_expansions(
     v23 = edge(p2c, p3c)  # (k, l)
     v30 = edge(p3c, p0c)  # (l, i)
 
-    def crs(u, v, shared_last):
-        """cross(u[a, s], v[s, b]) -> (P, a, s, b) when the SECOND axis
-        of u equals the FIRST of v (shared_last=False: u[s, a], i.e.
-        share u's first axis with v's first: cross(u[s, a]... )"""
-        if shared_last:
-            return (
-                u[:, :, :, None, 0] * v[:, None, :, :, 1]
-                - u[:, :, :, None, 1] * v[:, None, :, :, 0]
-            )
+    def crs(u, v):
+        """cross over chained edge tables: u (P, a, s, 2), v (P, s, b, 2)
+        — u's second axis is v's first — -> (P, a, s, b), the same
+        mul/mul/sub op sequence as geometry.cross."""
         return (
-            u[:, :, :, None, 0] * v[:, :, None, :, 1]
-            - u[:, :, :, None, 1] * v[:, :, None, :, 0]
+            u[:, :, :, None, 0] * v[:, None, :, :, 1]
+            - u[:, :, :, None, 1] * v[:, None, :, :, 0]
         )
 
-    def dt_(u, v, shared_last):
-        if shared_last:
-            return (
-                u[:, :, :, None, 0] * v[:, None, :, :, 0]
-                + u[:, :, :, None, 1] * v[:, None, :, :, 1]
-            )
+    def dt_(u, v):
         return (
-            u[:, :, :, None, 0] * v[:, :, None, :, 0]
-            + u[:, :, :, None, 1] * v[:, :, None, :, 1]
+            u[:, :, :, None, 0] * v[:, None, :, :, 0]
+            + u[:, :, :, None, 1] * v[:, None, :, :, 1]
         )
 
     def ang(c, d):
         return jnp.degrees(jnp.arctan2(c, d))
 
-    # c0 = cross(v01, v02): share axis i -> (P, i, j, k)
-    c0x = crs(v01.transpose(0, 2, 1, 3), v02, True).transpose(0, 2, 1, 3)
-    # ^ v01 axes (i, j) -> (j, i) so the shared axis i sits adjacent;
-    #   result (P, j, i, k) -> (P, i, j, k)
-    c1x = crs(v02.transpose(0, 2, 1, 3), v03, True).transpose(0, 2, 1, 3)
-    # c1 = cross(v02, v03) -> (P, i, k, l)
-    c01x = crs(v01, v12, True)           # (P, i, j, k): share j
-    c12x = crs(v12, v23, True)           # (P, j, k, l): share k
-    a0 = ang(c01x, dt_(v01, v12, True))  # (P, i, j, k)
-    a1 = ang(c12x, dt_(v12, v23, True))  # (P, j, k, l)
-    c23_30 = crs(v23, v30, True)         # (P, k, l, i): share l
-    a2 = ang(c23_30, dt_(v23, v30, True))
-    c30_01 = crs(v30, v01, True)         # (P, l, i, j): share i
-    a3 = ang(c30_01, dt_(v30, v01, True))
-    dd01 = dt_(
-        v01.transpose(0, 2, 1, 3), v02, True
-    ).transpose(0, 2, 1, 3)              # dot(v01, v02) -> (P, i, j, k)
-    dd30 = dt_(
-        v03.transpose(0, 2, 1, 3), v02, True
-    ).transpose(0, 2, 1, 3)              # dot(v03, v02) -> (P, i, l, k)
+    def swap12(x):  # (P, a, b, ...) -> (P, b, a, ...)
+        return x.transpose(0, 2, 1, 3)
+
+    # c0 = cross(v01, v02): both edges start at corner 0, so feed v01
+    # with axes swapped to (j, i) and swap back -> (P, i, j, k)
+    c0x = swap12(crs(swap12(v01), v02))
+    c1x = swap12(crs(swap12(v02), v03))  # cross(v02, v03) -> (P, i, k, l)
+    c01x = crs(v01, v12)                 # (P, i, j, k): share j
+    c12x = crs(v12, v23)                 # (P, j, k, l): share k
+    a0 = ang(c01x, dt_(v01, v12))        # (P, i, j, k)
+    a1 = ang(c12x, dt_(v12, v23))        # (P, j, k, l)
+    a2 = ang(crs(v23, v30), dt_(v23, v30))   # (P, k, l, i)
+    a3 = ang(crs(v30, v01), dt_(v30, v01))   # (P, l, i, j)
+    dd01 = swap12(dt_(swap12(v01), v02))     # dot(v01, v02) -> (P, i, j, k)
+    dd30 = swap12(dt_(swap12(v03), v02))     # dot(v03, v02) -> (P, i, l, k)
 
     # theta gate (d0 vs d1) -> (P, j, l)
     th9 = theta_distance_degree(
