@@ -381,6 +381,24 @@ class TagDetector:
             for i in range(n_chunks)
         ]
 
+        # AG_TIMELINE=1: record (label, t0, t1) around every host-side
+        # blocking site so the orchestration overhead (relay round
+        # trips, dispatch gaps) is attributable; read via
+        # detector.last_timeline after a detect_batch call.
+        tl: list | None = [] if os.environ.get("AG_TIMELINE") else None
+        self.last_timeline = tl
+        if tl is not None:
+            import time as _time
+
+            def _ev(label, fn, *a, **kw):
+                t0 = _time.perf_counter()
+                out = fn(*a, **kw)
+                tl.append((label, t0, _time.perf_counter()))
+                return out
+        else:
+            def _ev(label, fn, *a, **kw):
+                return fn(*a, **kw)
+
         # Front-ends are dispatched LAZILY, two chunks ahead of the host
         # search: the device executes in dispatch order, so dispatching
         # all front-ends up front would queue every decode behind the
@@ -420,8 +438,9 @@ class TagDetector:
         def ensure_fe(ci):
             if 0 <= ci < n_chunks and fronts[ci] is None:
                 lo, hi = bounds[ci]
-                fronts[ci] = self._frontend_packed_fn(
-                    imgs[lo:hi], decimate=dec, nms=nms_flag
+                fronts[ci] = _ev(
+                    f"fe_dispatch c{ci}", self._frontend_packed_fn,
+                    imgs[lo:hi], decimate=dec, nms=nms_flag,
                 )
                 _copy_to_host_async(fronts[ci][0])
 
@@ -433,7 +452,8 @@ class TagDetector:
         def chunk_state(ci):
             if state[ci] is None:
                 ensure_fe(ci)
-                pk = np.asarray(fronts[ci][0])  # one transfer: (b, N+1, 4)
+                # one transfer: (b, N+1, 4)
+                pk = _ev(f"pack_read c{ci}", np.asarray, fronts[ci][0])
                 _warn_counters(pk[:, -1, :3])
                 pk = pk[:, :-1]
                 state[ci] = {
@@ -474,7 +494,9 @@ class TagDetector:
                 if unchanged.any():
                     alive = alive * st["changed"][:, None].astype(np.uint8)
             st["changed"] = np.zeros(alive.shape[0], bool)
-            fut = pool.submit(
+            fut = _ev(
+                f"search_submit c{ci} p{p}",
+                pool.submit,
                 native.find_board_batch,
                 np.ascontiguousarray(st["sp"][..., 0]),
                 np.ascontiguousarray(st["sp"][..., 1]),
@@ -492,7 +514,7 @@ class TagDetector:
             # and launch the decode for its quads
             if job["done"]:
                 return
-            quads, counts = job["fut"].result()
+            quads, counts = _ev(f"search_wait c{ci}", job["fut"].result)
             job["done"] = True
             nb = quads.shape[0]
             if not counts.any():
@@ -518,7 +540,8 @@ class TagDetector:
             qarr = np.concatenate(
                 [quads.reshape(nb, dc * 4), counts[:, None]], axis=1
             ).astype(np.int32)
-            dec = self._decode_packed_fn(
+            dec = _ev(
+                f"dec_dispatch c{ci}", self._decode_packed_fn,
                 fronts[ci][0], fronts[ci][1],
                 jnp.asarray(qarr) if put is None else put(qarr),
                 hw=hw, dcap=dc,
@@ -533,14 +556,10 @@ class TagDetector:
                 if not job["done"] and job["fut"].done():
                     dispatch_job(cj, job)
 
-        def collect(ci, job):
-            dispatch_job(ci, job)  # blocks on the search if still running
-            quads, dec = job["quads"], job["dec"]
-            if dec is None:
-                return
+        def apply_dec(ci, job, arr):
+            quads = job["quads"]
             lo, _hi = bounds[ci]
             st = state[ci]
-            arr = np.asarray(dec)  # one download: (b, dcap, 10)
             valid = arr[..., 1] > 0.5
             fi, fj = np.nonzero(valid)
             ids = arr[fi, fj, 0].astype(np.int64)
@@ -553,6 +572,41 @@ class TagDetector:
             used_s = quads[fi, fj].reshape(-1)
             st["alive"][used_i, used_s] = 0
             st["changed"][np.unique(fi)] = True
+
+        def collect(ci, job):
+            dispatch_job(ci, job)  # blocks on the search if still running
+            dec = job["dec"]
+            if dec is None:
+                return
+            # one download: (b, dcap, 10)
+            apply_dec(ci, job, _ev(f"dec_read c{ci}", np.asarray, dec))
+
+        def collect_tail(jobs):
+            # Final-pass results feed nothing downstream (no further
+            # search pass releases saddles from them), so their
+            # downloads are DEFERRED here and fused: one device-side
+            # concat + ONE host read instead of n_chunks round trips
+            # (~30-40 ms relay latency each) serialized in the tail.
+            for ci, job in jobs:
+                dispatch_job(ci, job)
+            live = [(ci, job) for ci, job in jobs if job["dec"] is not None]
+            if len(live) == 1:
+                ci, job = live[0]
+                apply_dec(ci, job, _ev(f"dec_read c{ci}", np.asarray,
+                                       job["dec"]))
+                return
+            if not live:
+                return
+            flat = jnp.concatenate(
+                [j["dec"].reshape(-1, j["dec"].shape[-1]) for _, j in live],
+                axis=0,
+            )
+            big = _ev("dec_read tail-fused", np.asarray, flat)
+            off = 0
+            for ci, job in live:
+                b_, d_, w_ = job["dec"].shape
+                apply_dec(ci, job, big[off:off + b_ * d_].reshape(b_, d_, w_))
+                off += b_ * d_
 
         # Software pipeline across chunks AND board passes, walked in
         # chunk-WAVEFRONT order: wave w runs (chunk w, pass 0), then
@@ -601,9 +655,9 @@ class TagDetector:
                     pending[ci] = submit_search(ci, p)
                     if p == 0:
                         ensure_fe(ci + 2)  # keep the device 2 chunks ahead
-            for ci in range(n_chunks):  # max_num_of_boards == 0 => no passes
-                if ci in pending:
-                    collect(ci, pending[ci])
+            collect_tail(  # max_num_of_boards == 0 => no passes
+                [(ci, pending[ci]) for ci in range(n_chunks) if ci in pending]
+            )
         finally:
             pool.shutdown(wait=True)
         return results

@@ -1,22 +1,21 @@
 #!/bin/bash
-# Round-4 hardware A/B ladder (docs/ROADMAP.md "Ranked next steps").
-# Runs the queued knob comparisons that landed CPU-green during relay
-# outages.  Usage:  nohup bash tools/bench_ladder.sh > /tmp/ladder.log 2>&1 &
+# Round-5 session-2 hardware ladder (docs/ROADMAP.md "Ranked next steps").
+# Runs the round-5 measurements queued behind the session-1 relay outage.
+# Usage:  nohup bash tools/bench_ladder.sh > /tmp/ladder.log 2>&1 &
 #
-# Edit the numbered steps each round to match the ROADMAP's open levers.
-# Round-4 queue (session 2):
-#   1. background-search overlap worker A/B (AG_SEARCH_ASYNC=0 vs 1) on
-#      the two multi-pass 1080p scenes — the 17:51 commit's only
-#      hardware run hit a dying relay (geomean 267 vs 417 baseline)
-#   F. full bench.py geomean + regression gate — NO timeout (a cold jit
-#      cache can take minutes per new HLO; a killed headline run must
-#      never be silent)
+# Queue:
+#   1. per-frame budget table (verdict item 1 prerequisite)
+#   2. turbo extraction A/B: AG_TURBO_NMS=0 vs 1, back-to-back, b128
+#      (re-confirm the static selector's 1-core choice on hardware)
+#   3. xla-mode stage attribution at b16 (verdict item 2)
+#   4. 4K multi-camera re-measure (verdict item 4)
+#   F. full bench.py geomean + parity gate — NO timeout (cold HLOs
+#      take minutes each; a killed headline run must never be silent)
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/repo/.jax_cache
 
 step() { echo; echo "=== $(date +%T) $* ==="; }
-# run "label" timeout_s cmd... — logs TIMED OUT/FAILED visibly
 run() {
   local label="$1" tmo="$2"; shift 2
   step "$label"
@@ -34,15 +33,26 @@ for i in $(seq 1 240); do
 done
 curl -m 3 -s -o /dev/null http://127.0.0.1:8093/ || { echo "relay still down, aborting"; exit 1; }
 
-run "1a overlap worker ON (iphone+two_boards attribution)" 560 \
-  env BENCH_REPS=4 python tools/probe_iphone.py
+run "1 budget table (two_boards iphone, b128)" 0 \
+  python tools/probe_budget.py two_boards iphone
 
-run "1b overlap worker OFF (inline-search baseline)" 560 \
-  env AG_SEARCH_ASYNC=0 BENCH_REPS=4 python tools/probe_iphone.py
+run "2a turbo drain (AG_TURBO_NMS=0) iphone+two_boards" 900 \
+  env AG_TURBO_NMS=0 BENCH_DECIMATE=1 BENCH_BATCH=128 BENCH_REPS=4 \
+  python tools/probe_iphone.py
 
-# Final: full geomean, unbounded (cold compiles take minutes per HLO),
-# gated at ~10 % under the last recorded exact geomean (r4 session-2: 452.07)
-run "F full geomean + regression gate" 0 \
+run "2b turbo NMS (AG_TURBO_NMS=1) iphone+two_boards" 900 \
+  env AG_TURBO_NMS=1 BENCH_DECIMATE=1 BENCH_BATCH=128 BENCH_REPS=4 \
+  python tools/probe_iphone.py
+
+run "3 xla attribution (iphone, b16)" 0 \
+  python tools/probe_xla.py iphone
+
+run "4 4K multi-camera" 0 \
+  python tools/bench_4k.py
+
+# Final: full geomean + parity, unbounded; regression gate ~10 % under
+# the last recorded exact geomean (r4 session-2 ladder: 452.07)
+run "F full geomean + parity + regression gate" 0 \
   python bench.py --assert-min=405
 
 step "done"

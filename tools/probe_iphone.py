@@ -39,7 +39,9 @@ from aprilgrid_tpu.oracle.numpy_ref import load_image
 def main() -> int:
     batch = int(os.environ.get("BENCH_BATCH", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    det = TagDetector("t36h11")
+    # BENCH_DECIMATE=1: probe the turbo (half-res) path instead of exact
+    dec = os.environ.get("BENCH_DECIMATE", "0") not in ("0", "")
+    det = TagDetector("t36h11", decimate="auto" if dec else False)
 
     orig = native.find_board_batch
     calls: list[dict] = []
