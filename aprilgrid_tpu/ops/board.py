@@ -328,6 +328,54 @@ def propose_expansions(
     return new_quads, cand_ok.any(axis=-1), pool_overflow
 
 
+def resolve_conflicts(
+    tgt: jnp.ndarray,
+    quad: jnp.ndarray,
+    valid: jnp.ndarray,
+    n: int,
+    g2: int,
+) -> jnp.ndarray:
+    """Order-priority conflict resolution: a valid proposal is deferred
+    when any EARLIER valid proposal shares its target cell or a saddle
+    (matching the reference's sequential expansion order,
+    src/board.rs:114-152 — earlier frontier entries expand first).
+
+    Formulated as scatter-min "claims" instead of the previous
+    (P, P, 4, 4) pairwise-equality matrix: each valid proposal stamps
+    its index onto its 4 saddles and its target cell; proposal i is
+    blocked iff any of its resources carries a claim < i. Exactly the
+    dense formulation's accept set (pinned by
+    tests/test_board_conflicts.py) at O(P) scatter/gather cost instead
+    of O(P^2) — the pairwise matrix was the dominant byte traffic of a
+    growth sweep once vmapped over (boards x frames).
+    """
+    p = tgt.shape[0]
+    p_idx = jnp.arange(p, dtype=jnp.int32)
+    claim_s = jnp.full((n + 1,), p, jnp.int32).at[
+        jnp.where(valid[:, None], quad, n)
+    ].min(jnp.broadcast_to(p_idx[:, None], quad.shape))
+    claim_t = jnp.full((g2 + 1,), p, jnp.int32).at[
+        jnp.where(valid, tgt, g2)
+    ].min(p_idx)
+    blocked = (jnp.min(claim_s[quad], axis=1) < p_idx) | (
+        claim_t[jnp.minimum(tgt, g2)] < p_idx
+    )
+    return valid & ~blocked
+
+
+def resolve_conflicts_dense(
+    tgt: jnp.ndarray, quad: jnp.ndarray, valid: jnp.ndarray
+) -> jnp.ndarray:
+    """The original O(P^2) pairwise formulation, kept as the
+    equivalence oracle for tests/test_board_conflicts.py."""
+    same_tgt = tgt[:, None] == tgt[None, :]
+    share = (quad[:, None, :, None] == quad[None, :, None, :]).any((-1, -2))
+    p_idx = jnp.arange(tgt.shape[0])
+    earlier = (p_idx[None, :] < p_idx[:, None]) & valid[None, :]
+    blocked = (earlier & (same_tgt | share)).any(axis=1)
+    return valid & ~blocked
+
+
 def grow_board(
     saddles,
     knn: jnp.ndarray,
@@ -396,14 +444,7 @@ def grow_board(
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
         quad = jnp.take_along_axis(new_q, unrot_ix, axis=1)
 
-        # conflict resolution: a valid proposal is deferred when any
-        # earlier valid proposal shares its target cell or a saddle
-        same_tgt = tgt[:, None] == tgt[None, :]
-        share = (quad[:, None, :, None] == quad[None, :, None, :]).any((-1, -2))
-        p_idx = jnp.arange(tgt.shape[0])
-        earlier = (p_idx[None, :] < p_idx[:, None]) & valid[None, :]
-        blocked = (earlier & (same_tgt | share)).any(axis=1)
-        accept = valid & ~blocked
+        accept = resolve_conflicts(tgt, quad, valid, n, g2)
 
         # apply accepted placements (targets now distinct)
         scatter_tgt = jnp.where(accept, tgt, g2)
