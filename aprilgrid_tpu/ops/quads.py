@@ -85,10 +85,6 @@ def init_quads(
     same &= ~pos0
     diff &= ~pos0
 
-    pa, pb = _pair_enum(k)
-    pa = jnp.asarray(pa)
-    pb = jnp.asarray(pb)
-
     # -- phase 1: trig-free gates on small per-slot tables ------------
     pk = saddles.p[nn_idx]            # (k, 2) neighbor positions
     v0j = pk - p0                     # (k, 2): v01[d0], v02[s1], v03[d1]
@@ -119,24 +115,37 @@ def init_quads(
     # c01 = cross(v01, v12): table over (d0, s1)
     c01_t = v0j[:, None, 0] * ey - v0j[:, None, 1] * ex
 
-    # per-combo assembly on (k_s1, P_pairs)
-    c0_kp = cr[pa, :].T          # cr[d0, s1] = cross(v01, v02)
-    c1_kp = cr[:, pb]            # cr[s1, d1] = cross(v02, v03)
-    c01_kp = c01_t[pa, :].T
-    dot01_kp = dt[pa, :].T       # dt[d0, s1] = dot(v01, v02)
-    dot31_kp = dt[pb, :].T       # dt[d1, s1] = dot(v03, v02)
-    # c12 = cross(v12, v23): triple (d0, s1, d1) assembled from the
-    # edge tables — x12*y23 - y12*x23, matching cross()'s op order
-    c12_kp = ex[pa, :].T * ey[:, pb] - ey[pa, :].T * ex[:, pb]
-
-    cand_ok = same[:, None] & diff[pa][None, :] & diff[pb][None, :]
+    # Per-combo gates on the FULL (s1, d0, d1) cube, every factor a pure
+    # broadcast of the (k, k) tables — no gathered per-pair tables (the
+    # previous (k, C(k,2)) assembly materialized six ~(50, 1225) f32
+    # gathers; the cube fuses to elementwise ops emitting one (k, k, k)
+    # bool). The d0 < d1 triangle mask keeps exactly the combinations
+    # enumeration, and row-major flattening of (s1, d0, d1) is s1-major,
+    # d0-major — the reference iteration order (src/detector.rs:563-570),
+    # identical to the flattened (s1, pair) order it replaces.
+    crT = cr.T                       # [s1, d0] = cr[d0, s1]
+    tri = jnp.arange(k)
+    d0_lt_d1 = tri[:, None] < tri[None, :]            # (d0, d1)
+    cand_ok = (
+        same[:, None, None]
+        & diff[None, :, None]
+        & diff[None, None, :]
+        & d0_lt_d1[None, :, :]
+    )
+    # c12 = cross(v12, v23) = x12*y23 - y12*x23 from the edge tables:
+    # x12 = ex[d0, s1], y23 = ey[s1, d1] — broadcast product, op order
+    # (mul, mul, sub) as geometry.cross
+    c12_cube = (
+        ex.T[:, :, None] * ey[:, None, :]
+        - ey.T[:, :, None] * ex[:, None, :]
+    )  # (s1, d0, d1)
     cheap_ok = (
         cand_ok
-        & white_ok[:, None]
-        & (c0_kp * c1_kp >= 0.0)
-        & (c01_kp * c12_kp >= 0.0)
-        & (dot01_kp >= 0.0)
-        & (dot31_kp >= 0.0)
+        & white_ok[:, None, None]
+        & (crT[:, :, None] * cr[:, None, :] >= 0.0)
+        & (c01_t.T[:, :, None] * c12_cube >= 0.0)
+        & (dt.T[:, :, None] >= 0.0)
+        & (dt.T[:, None, :] >= 0.0)
     )
 
     # -- phase 2: exact predicate on the compacted survivors ----------
@@ -149,9 +158,9 @@ def init_quads(
     overflow = (
         jnp.sum(flat_cheap).astype(jnp.int32) - s_live.sum().astype(jnp.int32)
     )
-    s1_g = nn_idx[s_safe // pa.shape[0]]
-    d0_g = nn_idx[pa[s_safe % pa.shape[0]]]
-    d1_g = nn_idx[pb[s_safe % pa.shape[0]]]
+    s1_g = nn_idx[s_safe // (k * k)]
+    d0_g = nn_idx[(s_safe // k) % k]
+    d1_g = nn_idx[s_safe % k]
     geom_ok = is_valid_quad(
         p0, t0,
         saddles.p[d0_g], saddles.theta[d0_g],
