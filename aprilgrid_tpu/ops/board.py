@@ -115,6 +115,7 @@ def propose_expansions(
     quads: jnp.ndarray,
     active: jnp.ndarray,
     spacing_ratio: float,
+    act_off: jnp.ndarray | None = None,
 ):
     """Batched try_expand_one (src/board.rs:153-234).
 
@@ -122,6 +123,11 @@ def propose_expansions(
     (new_quads (P, 4), valid (P,)) — the first valid candidate combo per
     proposal, in reference nesting order. Candidate search is pruned to
     the k-NN list of the edge endpoint nearest each extrapolated target.
+
+    ``act_off``: optional (P,) int32 offsets into a FLAT ``active`` of
+    several concatenated per-board masks — proposals from different
+    boards then consult their own board's claimable-saddle set
+    (grow_boards_joint); ``None`` keeps the single shared mask.
     """
     p = saddles.p[quads]       # (P, 4, 2)
     t = saddles.theta[quads]   # (P, 4)
@@ -177,10 +183,14 @@ def propose_expansions(
     idx = jnp.take_along_axis(pool, slot, axis=-1)
     t_cand = saddles.theta[idx]       # (P, 4, 3)
     p_cand = jnp.take_along_axis(pool_p, slot[..., None], axis=2)
+    if act_off is None:
+        act = active[idx]
+    else:
+        act = active[idx + act_off[:, None, None]]
     ok = (
         jnp.isfinite(dist_sq)
         & (dist_sq <= radius_sq[..., None])
-        & active[idx]
+        & act
         & (theta_distance_degree(t[..., None], t_cand) < 5.0)
     )
 
@@ -484,6 +494,179 @@ def grow_board(
         score=placed.sum().astype(jnp.int32),
         pruned=pruned,
     )
+
+
+def grow_boards_joint(
+    saddles,
+    knn: jnp.ndarray,
+    alive: jnp.ndarray,
+    seed_quads: jnp.ndarray,
+    seed_ok: jnp.ndarray,
+    active_in: jnp.ndarray,
+    spacing_ratio: float,
+    grid_radius: int,
+    loop_attempts: int = 256,
+    max_sweeps: int = 48,
+):
+    """Grow MB candidate boards JOINTLY through one shared compacted
+    frontier (Board::new semantics per board, src/board.rs:27-48).
+
+    The vmapped per-board formulation paid (MB x max_attempts) dense
+    proposal slots every sweep even though dead candidates (the vast
+    majority on no-board passes) contribute zero real attempts — on
+    this backend, where big XLA ops stream at a few GB/s, that width is
+    the whole cost. Here every sweep compacts the LIVE (board, cell,
+    dir) attempts of all boards into one proposal axis:
+
+    * sweep 1 is hoisted at full width 4*MB (every candidate attempts
+      exactly its center cell's four directions — never truncated);
+    * the loop then runs at ``loop_attempts`` width, which covers the
+      real frontiers (a growing 6x6 board carries ~40 live attempts);
+      overflow defers attempts to the next sweep (failure-mark progress
+      keeps the loop alive, so deferral cannot drop work) and is
+      COUNTED in the returned audit so capacity pressure is visible.
+
+    Boards stay fully independent: per-board claim keys in the conflict
+    resolution, per-board active masks (flat (MB*N,) with per-proposal
+    offsets into propose_expansions). With no loop-width overflow the
+    per-board results are bit-identical to ``grow_board`` (pinned by
+    tests/test_board_joint.py).
+
+    Returns (BoardState with leading (MB,) axis and zeroed per-board
+    pruned, audit_scalar) where audit_scalar = kNN-pool prunes summed
+    over live proposals + loop-width truncation events.
+    """
+    g = 2 * grid_radius + 1
+    g2 = g * g
+    center = grid_radius * g + grid_radius
+    n = saddles.valid.shape[0]
+    mb = seed_quads.shape[0]
+
+    tgt_np, ok_np = _neighbor_arrays(grid_radius)
+    tgt_flat_np = tgt_np.reshape(-1)
+    tgt_map_flat = jnp.asarray(tgt_flat_np)
+    tgt_ok = jnp.asarray(ok_np)
+
+    # flat state with one trailing garbage slot
+    cell_quad = jnp.full((mb * g2 + 1, 4), -1, jnp.int32)
+    cell_quad = cell_quad.at[
+        jnp.arange(mb) * g2 + center
+    ].set(seed_quads)
+    placed = jnp.zeros(mb * g2 + 1, bool).at[
+        jnp.arange(mb) * g2 + center
+    ].set(seed_ok)
+    failed = jnp.zeros(mb * g2 + 1, bool)
+    # seed consumes quad[1:] only (src/board.rs:34-36)
+    active = jnp.broadcast_to(active_in, (mb, n)).reshape(-1)
+    active = jnp.concatenate([active, jnp.zeros(1, bool)])
+    seed_used = jnp.where(
+        seed_ok[:, None], jnp.arange(mb)[:, None] * n + seed_quads[:, 1:],
+        mb * n,
+    )
+    active = active.at[seed_used.reshape(-1)].set(False)
+
+    def process(state, b, cell, d, live, counted_trunc):
+        """One sweep's proposal batch: propose + conflicts + apply.
+        (b, cell, d) in board-major / cell-major / dir-minor order —
+        each board's internal priority order is exactly grow_board's."""
+        cell_quad, placed, failed, active, _, it, audit = state
+        tgt_local = jnp.where(live, tgt_map_flat[cell * 4 + d], g2)
+
+        rot_ix = (d[:, None] + jnp.arange(4)[None, :]) % 4
+        src = cell_quad[jnp.where(live, b * g2 + cell, mb * g2)]
+        rot = jnp.take_along_axis(src, rot_ix, axis=1)
+        # dead slots carry -1 quads; clamp for safe gathers (their
+        # validity is masked off below)
+        rot_safe = jnp.maximum(rot, 0)
+
+        new_q, valid, pool_ovf = propose_expansions(
+            saddles, knn, alive, rot_safe, active, spacing_ratio,
+            act_off=b * n,
+        )
+        valid &= live & (rot >= 0).all(axis=1)
+        audit = audit + jnp.sum(pool_ovf & live).astype(jnp.int32)
+        audit = audit + counted_trunc
+        unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
+        quad = jnp.take_along_axis(new_q, unrot_ix, axis=1)
+
+        # per-board claim keys: boards never contend with each other
+        accept = resolve_conflicts(
+            jnp.where(tgt_local < g2, b * g2 + tgt_local, mb * g2),
+            b[:, None] * n + quad,
+            valid,
+            mb * n,
+            mb * g2,
+        )
+
+        scatter_tgt = jnp.where(accept, b * g2 + tgt_local, mb * g2)
+        cell_quad = cell_quad.at[scatter_tgt].set(quad)
+        placed = placed.at[scatter_tgt].set(True)
+        used = jnp.where(accept[:, None], b[:, None] * n + quad, mb * n)
+        active = active.at[used.reshape(-1)].set(False)
+        fail_t = jnp.where(
+            live & ~valid & (tgt_local < g2), b * g2 + tgt_local, mb * g2
+        )
+        new_failed = failed.at[fail_t].set(True)
+        progressed = accept.any() | (new_failed != failed).any()
+        return (
+            cell_quad, placed, new_failed, active, progressed, it + 1,
+            audit,
+        )
+
+    # -- sweep 1, hoisted at full width: all centers x 4 directions ----
+    b1 = jnp.repeat(jnp.arange(mb, dtype=jnp.int32), 4)
+    cell1 = jnp.full(4 * mb, center, jnp.int32)
+    d1 = jnp.tile(jnp.arange(4, dtype=jnp.int32), mb)
+    state = (
+        cell_quad, placed, failed, active, seed_ok.any(), jnp.int32(1),
+        jnp.int32(0),
+    )
+    state = process(state, b1, cell1, d1, seed_ok[b1], jnp.int32(0))
+
+    # -- remaining sweeps on the compacted live frontier ---------------
+    def sweep(state):
+        cell_quad, placed, failed, active, _, it, audit = state
+        placed2 = placed[: mb * g2].reshape(mb, g2)
+        failed2 = failed[: mb * g2].reshape(mb, g2)
+        tgt_safe = jnp.minimum(jnp.asarray(tgt_np), g2 - 1)
+        att = (
+            placed2[:, :, None]
+            & tgt_ok[None]
+            & ~placed2[:, tgt_safe]
+            & ~failed2[:, tgt_safe]
+        ).reshape(-1)
+        total = mb * g2 * 4
+        (sel,) = jnp.nonzero(att, size=loop_attempts, fill_value=total)
+        live = sel < total
+        safe = jnp.minimum(sel, total - 1)
+        b = (safe // (g2 * 4)).astype(jnp.int32)
+        rem = safe % (g2 * 4)
+        cell = (rem // 4).astype(jnp.int32)
+        d = (rem % 4).astype(jnp.int32)
+        trunc = (
+            att.sum().astype(jnp.int32) - live.sum().astype(jnp.int32)
+        )
+        return process(state, b, cell, d, live, trunc)
+
+    def cond(state):
+        return state[4] & (state[5] < max_sweeps)
+
+    state = lax.while_loop(cond, sweep, state)
+    cell_quad, placed, failed, active, _, _, audit = state
+
+    cell_quad = cell_quad[: mb * g2].reshape(mb, g2, 4)
+    placed2 = placed[: mb * g2].reshape(mb, g2)
+    failed2 = failed[: mb * g2].reshape(mb, g2) & ~placed2
+    active2 = active[: mb * n].reshape(mb, n)
+    boards = BoardState(
+        cell_quad=cell_quad,
+        placed=placed2,
+        failed=failed2,
+        active=active2,
+        score=placed2.sum(axis=1).astype(jnp.int32),
+        pruned=jnp.zeros(mb, jnp.int32),
+    )
+    return boards, audit
 
 
 def fix_missing(saddles, board: BoardState, alive: jnp.ndarray, grid_radius: int) -> BoardState:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .board import BoardState, fix_missing, grow_board, knn_table
+from .board import BoardState, fix_missing, grow_boards_joint, knn_table
 from .geometry import rust_round
 from .quads import init_quads
 
@@ -105,17 +105,16 @@ def find_best_board(
         b_ok = sel < total
         b_q = flat_q[jnp.minimum(sel, total - 1)]
 
-        boards = jax.vmap(
-            lambda q, v: grow_board(
-                saddles, knn, alive, q, v, alive, spacing_ratio, grid_radius,
-                max_attempts=max_attempts,
-            )
-        )(b_q, b_ok)
+        boards, grow_audit = grow_boards_joint(
+            saddles, knn, alive, b_q, b_ok, alive, spacing_ratio,
+            grid_radius, loop_attempts=max(256, max_attempts),
+        )
         # density-audit counts accumulate over EVERY candidate grown,
         # not just the winner — an overflow in a LOSING board may be
         # exactly why it lost, and must still be surfaced. init_quads'
-        # cheap-gate compaction overflow rides the same audit channel.
-        audit = audit + jnp.sum(jnp.where(b_ok, boards.pruned, 0))
+        # cheap-gate compaction overflow and the joint-frontier
+        # truncation counter ride the same audit channel.
+        audit = audit + grow_audit
         audit = audit + jnp.sum(jnp.where(s_ok, qs.overflow, 0))
         scores = jnp.where(b_ok, boards.score, 0)
         # The reference checks the early-exit score after each SEED's
