@@ -206,14 +206,17 @@ def propose_expansions(
     # Degenerate candidate quads with huge edges extrapolate targets
     # beyond any pool's reach, so small nonzero counts are expected and
     # benign — validated by golden/stress parity (PARITY.md #3).
-    endpoints = jnp.stack([p[:, 1], p[:, 1], p[:, 2], p[:, 2]], axis=1)
-    d2_ep = jnp.sum((pool_p - endpoints[:, :, None, :]) ** 2, axis=-1)
+    endpoints2 = jnp.stack([p[:, 1], p[:, 2]], axis=1)  # (P, 2, 2)
+    d2_ep2 = jnp.sum(
+        (pool2_p - endpoints2[:, :, None, :]) ** 2, axis=-1
+    )  # (P, 2, K) — corners 0/1 and 2/3 share an endpoint AND a pool,
+    # so the pool-radius reduce runs at half width and broadcasts
     r_pool = jnp.sqrt(
-        jnp.max(
-            jnp.where(pool2_alive[:, corner_src], d2_ep, 0.0), axis=-1
-        )
+        jnp.max(jnp.where(pool2_alive, d2_ep2, 0.0), axis=-1)
+    )[:, corner_src]
+    d_et = jnp.sqrt(
+        jnp.sum((targets - endpoints2[:, corner_src]) ** 2, axis=-1)
     )
-    d_et = jnp.sqrt(jnp.sum((targets - endpoints) ** 2, axis=-1))
     d3 = jnp.sqrt(jnp.minimum(dist_sq[..., 2], jnp.float32(1e30)))
     covered = (d_et + d3 <= r_pool) | (jnp.sum(alive) <= pool.shape[-1])
     pool_overflow = (~covered).any(axis=-1)  # (P,)
