@@ -21,17 +21,43 @@ _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "search.cpp"
 _LIB = _DIR / "libagsearch.so"
 
-# Portable baseline flags (no -march=native: a .so built on one host and
-# shared to another — NFS checkout, container image — must not SIGILL;
-# the search is pointer-chasing, not SIMD-bound, so -O3 is what matters).
+# Portable baseline flags. AG_NATIVE_MARCH=native opts into
+# -march=native; that stays SAFE for a .so shared across hosts (NFS
+# checkout, container image) because the build stamp then includes a
+# host-ISA signature — a different host sees a stamp mismatch and
+# rebuilds with ITS OWN flags instead of SIGILLing on foreign vector
+# instructions. (The search is largely pointer-chasing, so the default
+# stays -O3 until -march measures a win; tools/profile_search.py A/Bs.)
 _CFLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+
+
+def _host_isa_signature() -> str:
+    """Stable signature of this host's ISA (CPU flags), so ISA-specific
+    builds are never reused on a host that cannot run them."""
+    try:
+        import hashlib
+
+        for line in Path("/proc/cpuinfo").read_text().splitlines():
+            if line.startswith("flags"):
+                return hashlib.sha256(line.encode()).hexdigest()[:16]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine()
 
 
 def build(force: bool = False) -> Path:
     """Compile the native library if missing or stale (source newer, or
-    built with different flags)."""
+    built with different flags / on a different-ISA host)."""
     stamp = _DIR / ".build_flags"
-    flags = " ".join(_CFLAGS)
+    cflags = list(_CFLAGS)
+    march = os.environ.get("AG_NATIVE_MARCH", "")
+    if march:
+        cflags.append(f"-march={march}")
+        flags = " ".join(cflags) + " isa:" + _host_isa_signature()
+    else:
+        flags = " ".join(cflags)
     stale = (
         force
         or not _LIB.exists()
@@ -40,11 +66,22 @@ def build(force: bool = False) -> Path:
         or stamp.read_text() != flags
     )
     if stale:
-        subprocess.run(
-            ["g++", *_CFLAGS, str(_SRC), "-o", str(_LIB)],
-            check=True,
-            capture_output=True,
-        )
+        try:
+            subprocess.run(
+                ["g++", *cflags, str(_SRC), "-o", str(_LIB)],
+                check=True,
+                capture_output=True,
+            )
+        except subprocess.CalledProcessError:
+            if not march:
+                raise
+            # unknown -march value for this toolchain: fall back portable
+            flags = " ".join(_CFLAGS)
+            subprocess.run(
+                ["g++", *_CFLAGS, str(_SRC), "-o", str(_LIB)],
+                check=True,
+                capture_output=True,
+            )
         stamp.write_text(flags)
     return _LIB
 
