@@ -700,9 +700,21 @@ def fix_missing(saddles, board: BoardState, alive: jnp.ndarray, grid_radius: int
     use_v = hole & ~h_present & v_present & v_ok
     fix = use_h | use_v
 
-    b0 = jnp.where(use_h, t_px, t_py)
-    b1 = jnp.where(use_h, t_mx, t_my)
-    q0 = board.cell_quad[b0]  # (G2, 4)
+    # compact the fixable holes: real boards repair a handful of cells,
+    # but the dense form paid a (G2, 4, N) distance volume + G2-wide
+    # quad predicates for all 625 cells. cap=32 is far beyond any
+    # physical board's interior hole count; a (pathological) overflow
+    # drops the excess repairs — counted into the pruned audit channel
+    # by the caller via the returned scalar.
+    cap = 32
+    (cells,) = jnp.nonzero(fix, size=cap, fill_value=g2)
+    live = cells < g2
+    safe = jnp.minimum(cells, g2 - 1)
+    overflow = fix.sum().astype(jnp.int32) - live.sum().astype(jnp.int32)
+
+    b0 = jnp.where(use_h[safe], t_px[safe], t_py[safe])
+    b1 = jnp.where(use_h[safe], t_mx[safe], t_my[safe])
+    q0 = board.cell_quad[b0]  # (cap, 4)
     q1 = board.cell_quad[b1]
     mid = (saddles.p[jnp.maximum(q0, 0)] + saddles.p[jnp.maximum(q1, 0)]) / 2.0
 
@@ -712,13 +724,15 @@ def fix_missing(saddles, board: BoardState, alive: jnp.ndarray, grid_radius: int
         (saddles.p[None, None, :, :] - mid[:, :, None, :]) ** 2, axis=-1
     )
     d2 = jnp.where(alive[None, None, :], d2, jnp.inf)
-    nearest = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (G2, 4)
+    nearest = jnp.argmin(d2, axis=-1).astype(jnp.int32)  # (cap, 4)
 
-    good = fix & is_valid_quad_idx(saddles, nearest)
-    cell_quad = jnp.where(good[:, None], nearest, board.cell_quad)
-    placed = board.placed | good
+    good = live & is_valid_quad_idx(saddles, nearest)
+    tgt_cells = jnp.where(good, safe, g2)
+    cell_quad = board.cell_quad.at[tgt_cells].set(nearest, mode="drop")
+    placed = board.placed.at[tgt_cells].set(True, mode="drop")
+    failed = board.failed.at[tgt_cells].set(False, mode="drop")
     return board._replace(
         cell_quad=cell_quad,
         placed=placed,
-        failed=board.failed & ~good,
-    )
+        failed=failed,
+    ), overflow

@@ -148,8 +148,8 @@ def find_best_board(
     _, best, audit = lax.while_loop(
         group_cond, group_body, (jnp.int32(0), empty_board(), jnp.int32(0))
     )
-    best = best._replace(pruned=audit.astype(jnp.int32))
 
     found = best.score > 0
-    best = fix_missing(saddles, best, alive, grid_radius)
+    best, fm_overflow = fix_missing(saddles, best, alive, grid_radius)
+    best = best._replace(pruned=(audit + fm_overflow).astype(jnp.int32))
     return SearchResult(board=best, found=found)
