@@ -562,16 +562,35 @@ class TagDetector:
             st = state[ci]
             valid = arr[..., 1] > 0.5
             fi, fj = np.nonzero(valid)
-            ids = arr[fi, fj, 0].astype(np.int64)
-            corners = arr[fi, fj, 2:].reshape(-1, 4, 2).tolist()
-            for i, tag_id, cs in zip(fi.tolist(), ids.tolist(), corners):
-                results[lo + i][int(tag_id)] = [tuple(c) for c in cs]
-            # successfully decoded quads release their saddles
-            # (src/detector.rs:517-536)
-            used_i = np.repeat(fi, 4)
-            used_s = quads[fi, fj].reshape(-1)
-            st["alive"][used_i, used_s] = 0
-            st["changed"][np.unique(fi)] = True
+            if fi.size:
+                # results assembly is measured host time (~0.9 ms/frame
+                # at 72 tags with a naive per-tag loop — the trailing
+                # block of the AG_TIMELINE Gantt): build the corner
+                # tuples in one C-level zip pass and insert per frame
+                # via dict.update(zip(...)).
+                ids = arr[fi, fj, 0].astype(np.int64).tolist()
+                cs = arr[fi, fj, 2:]
+                cols = [cs[:, k].tolist() for k in range(8)]
+                corners = [
+                    [(x0, y0), (x1, y1), (x2, y2), (x3, y3)]
+                    for x0, y0, x1, y1, x2, y2, x3, y3 in zip(*cols)
+                ]
+                # fi is sorted (np.nonzero row-major): frame i owns the
+                # slice [starts[i], starts[i+1])
+                nb = arr.shape[0]
+                starts = np.searchsorted(fi, np.arange(nb + 1))
+                for i in range(nb):
+                    s0, s1 = starts[i], starts[i + 1]
+                    if s0 != s1:
+                        results[lo + i].update(
+                            zip(ids[s0:s1], corners[s0:s1])
+                        )
+                # successfully decoded quads release their saddles
+                # (src/detector.rs:517-536)
+                used_i = np.repeat(fi, 4)
+                used_s = quads[fi, fj].reshape(-1)
+                st["alive"][used_i, used_s] = 0
+                st["changed"][np.unique(fi)] = True
 
         def collect(ci, job):
             dispatch_job(ci, job)  # blocks on the search if still running
@@ -646,15 +665,23 @@ class TagDetector:
         try:
             for wave in range(n_chunks + max(n_passes - 1, 0)):
                 for p in range(n_passes):
+                    # poll BEFORE the validity check so decodes of
+                    # completed searches dispatch even on edge waves
+                    poll_dispatch()
                     ci = wave - p
                     if not (0 <= ci < n_chunks):
                         continue
-                    poll_dispatch()
+                    if p == 0:
+                        # fe lookahead AFTER the poll: dec(ci-1) enters
+                        # the device queue BEFORE fe(ci+2), so the
+                        # previous chunk's pass-1 decode read no longer
+                        # waits behind a whole front-end execution
+                        # (AG_TIMELINE: the 43-56 ms dec_read stalls).
+                        # The device still stays 2 front-ends ahead.
+                        ensure_fe(ci + 2)
                     if p > 0:
                         collect(ci, pending[ci])
                     pending[ci] = submit_search(ci, p)
-                    if p == 0:
-                        ensure_fe(ci + 2)  # keep the device 2 chunks ahead
             collect_tail(  # max_num_of_boards == 0 => no passes
                 [(ci, pending[ci]) for ci in range(n_chunks) if ci in pending]
             )
@@ -689,14 +716,17 @@ def _default_chunk(h: int, w: int) -> int:
     32 1080p frames per chunk pipelines best on the measured relay
     (finer host/device interleave beats fewer dispatches; one
     whole-batch chunk serializes host search against the front-end:
-    181 vs 250 fps at batch 128). Scales by resolution at a constant
-    pixel budget (4K -> 8), rounded down to a power of two so chunk
-    boundaries reuse jit specializations. Forcing >= 4 chunks
-    regardless of frame size was measured neutral-to-worse on small
-    frames — they are relay-latency-bound, and more chunks means more
-    fixed dispatch latency."""
+    181 vs 250 fps at batch 128), while 1024^2 frames — whose device
+    work is half but whose per-chunk relay costs are identical — want
+    64 (round-5 ladder: TUM_VI 393 fps at chunk 32 vs 451/442 at
+    48/64). Scales by resolution at a constant pixel budget (4K -> 8),
+    rounded down to a power of two so chunk boundaries reuse jit
+    specializations. Forcing >= 4 chunks regardless of frame size was
+    measured neutral-to-worse on small frames — they are
+    relay-latency-bound, and more chunks means more fixed dispatch
+    latency."""
     px = h * w
-    budget = max(8, min(64, (32 * 1920 * 1080) // max(px, 1)))
+    budget = max(8, min(64, (40 * 1920 * 1080) // max(px, 1)))
     return 1 << (budget.bit_length() - 1)
 
 
