@@ -21,14 +21,19 @@ _DIR = Path(__file__).resolve().parent
 _SRC = _DIR / "search.cpp"
 _LIB = _DIR / "libagsearch.so"
 
-# Portable baseline flags. AG_NATIVE_MARCH=native opts into
-# -march=native; that stays SAFE for a .so shared across hosts (NFS
-# checkout, container image) because the build stamp then includes a
-# host-ISA signature — a different host sees a stamp mismatch and
-# rebuilds with ITS OWN flags instead of SIGILLing on foreign vector
-# instructions. (The search is largely pointer-chasing, so the default
-# stays -O3 until -march measures a win; tools/profile_search.py A/Bs.)
-_CFLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread"]
+# -march=native by default (measured ~14 % on the hot search paths:
+# iphone no-board pass 2.022 -> 1.732 ms/frame, tools/profile_search.py
+# A/B round 5). Safe for a .so shared across hosts (NFS checkout,
+# container image): the build stamp includes a host-ISA signature, so a
+# different host sees a stamp mismatch and rebuilds with ITS OWN flags
+# instead of SIGILLing on foreign vector instructions.
+# -ffp-contract=off pins the numerics: the baseline x86-64 build has no
+# FMA instruction, so contraction was impossible before; allowing the
+# compiler to fuse a*b+c under -march=native would change rounding on
+# razor-edge reference-parity gates. AG_NATIVE_MARCH overrides
+# ("portable" disables -march entirely).
+_CFLAGS = ["-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+           "-ffp-contract=off"]
 
 
 def _host_isa_signature() -> str:
@@ -52,8 +57,8 @@ def build(force: bool = False) -> Path:
     built with different flags / on a different-ISA host)."""
     stamp = _DIR / ".build_flags"
     cflags = list(_CFLAGS)
-    march = os.environ.get("AG_NATIVE_MARCH", "")
-    if march:
+    march = os.environ.get("AG_NATIVE_MARCH", "native")
+    if march and march != "portable":
         cflags.append(f"-march={march}")
         flags = " ".join(cflags) + " isa:" + _host_isa_signature()
     else:

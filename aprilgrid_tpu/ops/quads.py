@@ -48,6 +48,8 @@ def init_quads(
     nn: int,
     max_quads: int,
     cheap_cap: int = 2048,
+    same_cap: int = 40,
+    diff_cap: int = 40,
 ) -> QuadSet:
     """Candidate quads seeded at ``s0_idx`` (src/detector.rs:543-586).
 
@@ -101,51 +103,71 @@ def init_quads(
     )
     white_ok = (wang >= 60.0) & (wang <= 120.0)  # (k,) per s1
 
-    # cross/dot tables over (slot_a, slot_b) — the SAME f32 op sequences
-    # as is_valid_quad's c0/c1/c01/c12 and dot gates (mul, mul, sub on
-    # identical values), so phase 1 can never reject a combo phase 2
-    # would accept
-    cr = v0j[:, None, 0] * v0j[None, :, 1] - v0j[:, None, 1] * v0j[None, :, 0]
-    dt = v0j[:, None, 0] * v0j[None, :, 0] + v0j[:, None, 1] * v0j[None, :, 1]
-    # edge-difference table: e[a, b] = p[b] - p[a] (v12 at [d0, s1],
-    # v23 at [s1, d1] — the reference derives both from positions, not
-    # from v0j differences, so these are computed from positions too)
-    ex = pk[None, :, 0] - pk[:, None, 0]
-    ey = pk[None, :, 1] - pk[:, None, 1]
-    # c01 = cross(v01, v12): table over (d0, s1)
-    c01_t = v0j[:, None, 0] * ey - v0j[:, None, 1] * ex
+    # Compact the same/diff sets BEFORE enumerating combos. The
+    # reference iterates same x C(diff, 2) where each set is typically
+    # 10-30 members of the 50-NN — the dense (k, C(k,2)) sweep enumerated
+    # 61k combos regardless, and its phase-2 nonzero (a cumsum over the
+    # flat combo axis) dominated init_quads' cost on the TPU backend.
+    # Compaction is order-preserving (nonzero is ascending), so the
+    # (s1, pair) enumeration over compacted positions IS the reference
+    # iteration order (src/detector.rs:563-570). Caps: the max set
+    # sizes over EVERY saddle of every golden scene measure 31/30
+    # (round-5 probe); 40/40 leaves 1.3x headroom, and truncation rides
+    # the audit counter like every other capacity.
+    sc = min(same_cap, k)
+    dc = min(diff_cap, k)
+    (s_sel,) = jnp.nonzero(same, size=sc, fill_value=k)
+    (d_sel,) = jnp.nonzero(diff, size=dc, fill_value=k)
+    s_live = s_sel < k
+    d_live = d_sel < k
+    set_overflow = (
+        jnp.sum(same).astype(jnp.int32) - s_live.sum().astype(jnp.int32)
+    ) + (jnp.sum(diff).astype(jnp.int32) - d_live.sum().astype(jnp.int32))
+    ss = jnp.minimum(s_sel, k - 1)
+    ds = jnp.minimum(d_sel, k - 1)
+    pk_s, pk_d = pk[ss], pk[ds]
+    v0s, v0d = v0j[ss], v0j[ds]
 
-    # Per-combo gates on the FULL (s1, d0, d1) cube, every factor a pure
-    # broadcast of the (k, k) tables — no gathered per-pair tables (the
-    # previous (k, C(k,2)) assembly materialized six ~(50, 1225) f32
-    # gathers; the cube fuses to elementwise ops emitting one (k, k, k)
-    # bool). The d0 < d1 triangle mask keeps exactly the combinations
-    # enumeration, and row-major flattening of (s1, d0, d1) is s1-major,
-    # d0-major — the reference iteration order (src/detector.rs:563-570),
-    # identical to the flattened (s1, pair) order it replaces.
-    crT = cr.T                       # [s1, d0] = cr[d0, s1]
-    tri = jnp.arange(k)
-    d0_lt_d1 = tri[:, None] < tri[None, :]            # (d0, d1)
+    # cross/dot tables over the compacted subsets — the SAME f32 op
+    # sequences as is_valid_quad's c0/c1/c01/c12 and dot gates (mul,
+    # mul, sub on identical values), so phase 1 can never reject a
+    # combo phase 2 would accept. Orientation matters (cross(a, b) is
+    # an op sequence, not just a sign): cr_ds[d, s] = cross(v0j[d],
+    # v0j[s]), cr_sd[s, d] = cross(v0j[s], v0j[d]).
+    cr_ds = v0d[:, None, 0] * v0s[None, :, 1] - v0d[:, None, 1] * v0s[None, :, 0]
+    cr_sd = v0s[:, None, 0] * v0d[None, :, 1] - v0s[:, None, 1] * v0d[None, :, 0]
+    dt_ds = v0d[:, None, 0] * v0s[None, :, 0] + v0d[:, None, 1] * v0s[None, :, 1]
+    # edge tables e[a, b] = p[b] - p[a] (v12 at [d0, s1], v23 at
+    # [s1, d1] — derived from positions as the reference does)
+    ex_ds = pk_s[None, :, 0] - pk_d[:, None, 0]   # (D, S)
+    ey_ds = pk_s[None, :, 1] - pk_d[:, None, 1]
+    ex_sd = pk_d[None, :, 0] - pk_s[:, None, 0]   # (S, D)
+    ey_sd = pk_d[None, :, 1] - pk_s[:, None, 1]
+    c01_ds = v0d[:, None, 0] * ey_ds - v0d[:, None, 1] * ex_ds
+
+    # per-combo gates on the (s1, d0, d1) cube of compacted slots; the
+    # i < j triangle over ascending-compacted diff slots IS combinations
+    # order over the original slots
+    tri = jnp.arange(dc)
     cand_ok = (
-        same[:, None, None]
-        & diff[None, :, None]
-        & diff[None, None, :]
-        & d0_lt_d1[None, :, :]
+        s_live[:, None, None]
+        & d_live[None, :, None]
+        & d_live[None, None, :]
+        & (tri[:, None] < tri[None, :])[None, :, :]
     )
-    # c12 = cross(v12, v23) = x12*y23 - y12*x23 from the edge tables:
-    # x12 = ex[d0, s1], y23 = ey[s1, d1] — broadcast product, op order
-    # (mul, mul, sub) as geometry.cross
+    # c12 = cross(v12, v23) = x12*y23 - y12*x23 (op order as
+    # geometry.cross): x12 = ex[d_i, s], y23 = ey[s, d_j]
     c12_cube = (
-        ex.T[:, :, None] * ey[:, None, :]
-        - ey.T[:, :, None] * ex[:, None, :]
-    )  # (s1, d0, d1)
+        ex_ds.T[:, :, None] * ey_sd[:, None, :]
+        - ey_ds.T[:, :, None] * ex_sd[:, None, :]
+    )  # (S, D, D)
     cheap_ok = (
         cand_ok
-        & white_ok[:, None, None]
-        & (crT[:, :, None] * cr[:, None, :] >= 0.0)
-        & (c01_t.T[:, :, None] * c12_cube >= 0.0)
-        & (dt.T[:, :, None] >= 0.0)
-        & (dt.T[:, None, :] >= 0.0)
+        & white_ok[ss][:, None, None]
+        & (cr_ds.T[:, :, None] * cr_sd[:, None, :] >= 0.0)
+        & (c01_ds.T[:, :, None] * c12_cube >= 0.0)
+        & (dt_ds.T[:, :, None] >= 0.0)
+        & (dt_ds.T[:, None, :] >= 0.0)
     )
 
     # -- phase 2: exact predicate on the compacted survivors ----------
@@ -153,14 +175,15 @@ def init_quads(
     total = flat_cheap.shape[0]
     cap = min(cheap_cap, total)
     (surv,) = jnp.nonzero(flat_cheap, size=cap, fill_value=total)
-    s_live = surv < total
+    p2_live = surv < total
     s_safe = jnp.minimum(surv, total - 1)
-    overflow = (
-        jnp.sum(flat_cheap).astype(jnp.int32) - s_live.sum().astype(jnp.int32)
+    overflow = set_overflow + (
+        jnp.sum(flat_cheap).astype(jnp.int32) - p2_live.sum().astype(jnp.int32)
     )
-    s1_g = nn_idx[s_safe // (k * k)]
-    d0_g = nn_idx[(s_safe // k) % k]
-    d1_g = nn_idx[s_safe % k]
+    s_live = p2_live
+    s1_g = nn_idx[ss[s_safe // (dc * dc)]]
+    d0_g = nn_idx[ds[(s_safe // dc) % dc]]
+    d1_g = nn_idx[ds[s_safe % dc]]
     geom_ok = is_valid_quad(
         p0, t0,
         saddles.p[d0_g], saddles.theta[d0_g],

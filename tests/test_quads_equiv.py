@@ -106,3 +106,24 @@ def test_init_quads_identical(seed):
         np.testing.assert_array_equal(
             np.asarray(got.quads)[v], np.asarray(ref_q)[v]
         )
+
+
+def test_set_cap_overflow_is_flagged():
+    """The same/diff set compaction (round-5) truncates at 40/40 —
+    1.3x above the worst set size measured over every saddle of every
+    golden scene. A pathological orientation field that overflows the
+    cap must raise the audit counter, never silently drop combos."""
+    rng = np.random.default_rng(3)
+    n = 120
+    p = rng.uniform(0, 60, size=(n, 2)).astype(np.float32)
+    theta = (10.0 + rng.normal(0, 0.5, n)).astype(np.float32)  # all "same"
+    saddles = Saddles(
+        p=jnp.asarray(p),
+        k=jnp.ones(n, jnp.float32),
+        theta=jnp.asarray(theta),
+        phi=jnp.full((n,), 45.0, jnp.float32),
+        valid=jnp.ones(n, bool),
+    )
+    alive = jnp.ones(n, bool)
+    got = init_quads(saddles, alive, jnp.int32(0), 50, 32)
+    assert int(got.overflow) > 0
