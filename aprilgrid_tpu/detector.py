@@ -671,17 +671,18 @@ class TagDetector:
                     ci = wave - p
                     if not (0 <= ci < n_chunks):
                         continue
-                    if p == 0:
-                        # fe lookahead AFTER the poll: dec(ci-1) enters
-                        # the device queue BEFORE fe(ci+2), so the
-                        # previous chunk's pass-1 decode read no longer
-                        # waits behind a whole front-end execution
-                        # (AG_TIMELINE: the 43-56 ms dec_read stalls).
-                        # The device still stays 2 front-ends ahead.
-                        ensure_fe(ci + 2)
                     if p > 0:
                         collect(ci, pending[ci])
                     pending[ci] = submit_search(ci, p)
+                # fe lookahead at END of wave, after the final poll has
+                # dispatched dec(wave): the decode enters the device
+                # queue BEFORE fe(wave+2), so the first pass-1 decode
+                # read no longer waits behind a whole queued front-end
+                # (AG_TIMELINE: a 55-67 ms dec_read stall per batch).
+                # Still 2 front-ends of lookahead before the wave+2
+                # pack read, so the device never starves.
+                poll_dispatch()
+                ensure_fe(wave + 2)
             collect_tail(  # max_num_of_boards == 0 => no passes
                 [(ci, pending[ci]) for ci in range(n_chunks) if ci in pending]
             )
