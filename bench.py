@@ -130,6 +130,28 @@ def main() -> int:
     mode = f"{mode}+turbo" if decimate else mode
     images = IMAGES if scope == "geomean" else [("two_boards", 72)]
 
+    # Relay-weather gauge: the fixed dispatch+sync round-trip latency of
+    # a tiny op. Healthy windows measure ~25-30 ms; congested windows
+    # 2x+ that, and EVERY fps number in this run scales with it (the
+    # hybrid pipeline pays several round trips per chunk). Recorded so a
+    # cross-round comparison can tell code regressions from bad relay
+    # windows (measured swing round 5: geomean 452 -> 355 on identical
+    # code as the floor doubled).
+    tiny = jnp.zeros((8, 128), jnp.float32)
+    f_tiny = jax.jit(lambda x: x + 1.0)
+    np.asarray(f_tiny(tiny)[0, 0])
+    floors = []
+    for _ in range(7):
+        t0 = time.time()
+        np.asarray(f_tiny(tiny)[0, 0])
+        floors.append(time.time() - t0)
+    print(json.dumps({
+        "metric": "relay dispatch+sync floor (tiny op round trip; "
+        "window-health gauge — fps lines scale inversely with it)",
+        "value": round(1e3 * sorted(floors)[len(floors) // 2], 2),
+        "unit": "ms", "vs_baseline": 1.0,
+    }), flush=True)
+
     # -- hardware parity gate vs the NumPy oracle (reference-exact twin)
     parity_on = os.environ.get("BENCH_PARITY", "1") not in ("0", "")
     oracle_cache: dict = {}
