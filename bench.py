@@ -116,7 +116,9 @@ def main() -> int:
     mode = os.environ.get("BENCH_MODE", "hybrid")
     default_batch = "128" if mode == "hybrid" else "16"
     batch = int(os.environ.get("BENCH_BATCH", default_batch))
-    reps = int(os.environ.get("BENCH_REPS", "5"))
+    # best-of-7: consecutive same-code runs swing +/-15 % through the
+    # relay; more draws tighten the max estimator at ~seconds of cost
+    reps = int(os.environ.get("BENCH_REPS", "7"))
     scope = os.environ.get("BENCH_SCOPE", "geomean")
     # BENCH_DECIMATE=1: the approximate "turbo" mode (half-res detect +
     # full-res corner re-refine) with the "auto" policy — >= 2 MP frames
