@@ -727,7 +727,10 @@ def _default_chunk(h: int, w: int) -> int:
     relay-latency-bound, and more chunks means more fixed dispatch
     latency."""
     px = h * w
-    budget = max(8, min(64, (40 * 1920 * 1080) // max(px, 1)))
+    # floor 16: 4K measured 133 fps at chunk 16 vs 116 at 8 (exact,
+    # round-5 A/B — same rebalance as the 1 MP bump once the tail read
+    # was fused and the unpack vectorized)
+    budget = max(16, min(64, (40 * 1920 * 1080) // max(px, 1)))
     return 1 << (budget.bit_length() - 1)
 
 

@@ -41,35 +41,42 @@ def main() -> int:
         np.broadcast_to(frame4k, (cams * steps,) + frame4k.shape).copy()
     )
 
-    # BENCH_DECIMATE=1: the approximate turbo mode (half-res detect +
-    # full-res corner re-refine); recall is validated on this scene below
-    decimate = os.environ.get("BENCH_DECIMATE", "0") not in ("0", "")
-    det = TagDetector("t36h11", decimate="auto" if decimate else False)
-    out = det.detect_batch(frames)
-    n = len(out[0])
-    assert n == 72, f"expected 72 tags on the 4K frame, got {n}"
+    # Both modes, one line each: exact (reference parity) and turbo
+    # (half-res detect + full-res corner re-refine; finds the same 72
+    # tags on this scene, asserted below). BENCH_DECIMATE=1 restricts
+    # to turbo-only, BENCH_DECIMATE=0 stays both.
+    modes = [("", False), (", turbo", "auto")]
+    if os.environ.get("BENCH_DECIMATE", "") == "1":
+        modes = [(", turbo", "auto")]
+    rc = 0
+    for suffix, dec in modes:
+        det = TagDetector("t36h11", decimate=dec)
+        out = det.detect_batch(frames)
+        n = len(out[0])
+        assert n == 72, f"expected 72 tags on the 4K frame, got {n}"
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        det.detect_batch(frames)
-        best = min(best, time.time() - t0)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            det.detect_batch(frames)
+            best = min(best, time.time() - t0)
 
-    fps = frames.shape[0] / best
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"4K detect() throughput, {cams}-camera stream "
-                    f"(tags/frame={n}{', turbo' if decimate else ''})"
-                ),
-                "value": round(fps, 2),
-                "unit": "fps/chip",
-                "vs_baseline": round(fps / 2000.0, 4),
-            }
+        fps = frames.shape[0] / best
+        print(
+            json.dumps(
+                {
+                    "metric": (
+                        f"4K detect() throughput, {cams}-camera stream "
+                        f"(tags/frame={n}{suffix})"
+                    ),
+                    "value": round(fps, 2),
+                    "unit": "fps/chip",
+                    "vs_baseline": round(fps / 2000.0, 4),
+                }
+            ),
+            flush=True,
         )
-    )
-    return 0
+    return rc
 
 
 if __name__ == "__main__":
