@@ -49,7 +49,8 @@ def test_hybrid_chunk_default_scales_with_resolution():
     from aprilgrid_tpu.detector import _default_chunk
 
     assert _default_chunk(1080, 1920) == 32
-    assert _default_chunk(2160, 3840) == 8
+    # 4K A/B (round 5): 133 fps exact at 16 vs 116 at 8
+    assert _default_chunk(2160, 3840) == 16
     assert _default_chunk(480, 752) == 64
     # ~1 MP frames: device work halves but per-chunk relay costs don't
     # (round-5 ladder: TUM_VI 393 fps at chunk 32 vs 451/442 at 48/64)
