@@ -380,6 +380,20 @@ class TagDetector:
             (i * b // n_chunks, (i + 1) * b // n_chunks)
             for i in range(n_chunks)
         ]
+        # AG_FILL_RAMP=1: split the FIRST chunk in half. The pipeline
+        # fill (the host's first pack read blocks for the whole first
+        # front-end, ~114 ms at 1080p b128 — AG_TIMELINE) shrinks by
+        # ~half a front-end at the cost of one extra chunk's fixed
+        # overhead and two extra jit shapes per geometry. Off by
+        # default pending the hardware A/B.
+        if (
+            os.environ.get("AG_FILL_RAMP", "0") not in ("0", "")
+            and n_chunks >= 2
+            and bounds[0][1] - bounds[0][0] >= 8
+        ):
+            mid = (bounds[0][0] + bounds[0][1]) // 2
+            bounds = [(bounds[0][0], mid), (mid, bounds[0][1])] + bounds[1:]
+            n_chunks += 1
 
         # AG_TIMELINE=1: record (label, t0, t1) around every host-side
         # blocking site so the orchestration overhead (relay round
