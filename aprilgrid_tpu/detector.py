@@ -458,8 +458,9 @@ class TagDetector:
                 )
                 _copy_to_host_async(fronts[ci][0])
 
-        ensure_fe(0)
-        ensure_fe(1)
+        if self.params.max_num_of_boards > 0:
+            ensure_fe(0)
+            ensure_fe(1)
         state: list[dict | None] = [None] * n_chunks
         results: list[dict] = [{} for _ in range(b)]
 
@@ -508,6 +509,7 @@ class TagDetector:
                 if unchanged.any():
                     alive = alive * st["changed"][:, None].astype(np.uint8)
             st["changed"] = np.zeros(alive.shape[0], bool)
+            final = p == n_passes - 1
             fut = _ev(
                 f"search_submit c{ci} p{p}",
                 pool.submit,
@@ -521,7 +523,8 @@ class TagDetector:
                 early_exit_score=self.consts.early_exit_score,
                 cap=cap,
             )
-            return {"fut": fut, "quads": None, "dec": None, "done": False}
+            return {"fut": fut, "quads": None, "dec": None,
+                    "done": False, "final": final}
 
         def dispatch_job(ci, job):
             # main thread only (jax dispatch): resolve the search future
@@ -560,7 +563,11 @@ class TagDetector:
                 jnp.asarray(qarr) if put is None else put(qarr),
                 hw=hw, dcap=dc,
             )
-            _copy_to_host_async(dec)
+            if not job["final"]:
+                # final-pass decodes are read ONCE via the fused tail
+                # concat; an async per-chunk copy would move the same
+                # bytes across the relay twice
+                _copy_to_host_async(dec)
             job["quads"], job["dec"] = quads, dec
 
         def poll_dispatch():
@@ -677,7 +684,11 @@ class TagDetector:
         else:
             pool = _InlineExecutor()
         try:
-            for wave in range(n_chunks + max(n_passes - 1, 0)):
+            # max_num_of_boards == 0: no passes ever read a front-end —
+            # skip the wave loop entirely (its end-of-wave fe lookahead
+            # would otherwise dispatch dead device work)
+            for wave in range(0 if n_passes == 0 else
+                              n_chunks + n_passes - 1):
                 for p in range(n_passes):
                     # poll BEFORE the validity check so decodes of
                     # completed searches dispatch even on edge waves

@@ -54,41 +54,62 @@ def _host_isa_signature() -> str:
 
 def build(force: bool = False) -> Path:
     """Compile the native library if missing or stale (source newer, or
-    built with different flags / on a different-ISA host)."""
-    stamp = _DIR / ".build_flags"
+    built with different flags).
+
+    ISA-specific builds live in ISA-suffixed files
+    (``libagsearch.<sig>.so`` + matching stamp), so hosts with
+    different vector ISAs sharing one checkout (NFS, container image)
+    each keep their own artifact instead of rebuild-thrashing or —
+    worse — dlopening a foreign-ISA .so. Artifacts are written to a
+    temp file and os.replace()d, so a concurrent reader never maps a
+    half-written library."""
     cflags = list(_CFLAGS)
     march = os.environ.get("AG_NATIVE_MARCH", "native")
-    if march and march != "portable":
+    native_isa = bool(march) and march != "portable"
+    if native_isa:
         cflags.append(f"-march={march}")
-        flags = " ".join(cflags) + " isa:" + _host_isa_signature()
+        sig = _host_isa_signature()
+        lib = _DIR / f"libagsearch.{sig}.so"
+        stamp = _DIR / f".build_flags.{sig}"
+        # the stamp records the REQUEST (flags + ISA), not the outcome:
+        # a -march compile that falls back to portable must not retry
+        # the failing compile on every import
+        flags = " ".join(cflags) + " isa:" + sig
     else:
+        lib = _LIB
+        stamp = _DIR / ".build_flags"
         flags = " ".join(cflags)
     stale = (
         force
-        or not _LIB.exists()
-        or _LIB.stat().st_mtime < _SRC.stat().st_mtime
+        or not lib.exists()
+        or lib.stat().st_mtime < _SRC.stat().st_mtime
         or not stamp.exists()
         or stamp.read_text() != flags
     )
     if stale:
+        tmp = lib.with_suffix(f".tmp{os.getpid()}.so")
         try:
-            subprocess.run(
-                ["g++", *cflags, str(_SRC), "-o", str(_LIB)],
-                check=True,
-                capture_output=True,
-            )
-        except subprocess.CalledProcessError:
-            if not march:
-                raise
-            # unknown -march value for this toolchain: fall back portable
-            flags = " ".join(_CFLAGS)
-            subprocess.run(
-                ["g++", *_CFLAGS, str(_SRC), "-o", str(_LIB)],
-                check=True,
-                capture_output=True,
-            )
+            try:
+                subprocess.run(
+                    ["g++", *cflags, str(_SRC), "-o", str(tmp)],
+                    check=True,
+                    capture_output=True,
+                )
+            except subprocess.CalledProcessError:
+                if not native_isa:
+                    raise
+                # toolchain rejects this -march: fall back portable
+                # (same stamp — see above)
+                subprocess.run(
+                    ["g++", *_CFLAGS, str(_SRC), "-o", str(tmp)],
+                    check=True,
+                    capture_output=True,
+                )
+            os.replace(tmp, lib)
+        finally:
+            tmp.unlink(missing_ok=True)
         stamp.write_text(flags)
-    return _LIB
+    return lib
 
 
 @functools.lru_cache(maxsize=None)

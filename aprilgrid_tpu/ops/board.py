@@ -509,7 +509,7 @@ def grow_boards_joint(
     spacing_ratio: float,
     grid_radius: int,
     loop_attempts: int = 256,
-    max_sweeps: int = 48,
+    max_sweeps: int = 160,
 ):
     """Grow MB candidate boards JOINTLY through one shared compacted
     frontier (Board::new semantics per board, src/board.rs:27-48).
@@ -526,8 +526,12 @@ def grow_boards_joint(
     * the loop then runs at ``loop_attempts`` width, which covers the
       real frontiers (a growing 6x6 board carries ~40 live attempts);
       overflow defers attempts to the next sweep (failure-mark progress
-      keeps the loop alive, so deferral cannot drop work) and is
-      COUNTED in the returned audit so capacity pressure is visible.
+      keeps the loop alive, so deferral is lossless as long as the
+      generous ``max_sweeps`` safety bound — dynamic: quiesced loops
+      exit early and never pay it — is not hit). Attempts still live
+      when the bound fires ARE dropped work, so the final frontier is
+      counted into the returned audit; routine in-flight deferral that
+      later processes is NOT flagged (it is not capacity pressure).
 
     Boards stay fully independent: per-board claim keys in the conflict
     resolution, per-board active masks (flat (MB*N,) with per-proposal
@@ -568,7 +572,7 @@ def grow_boards_joint(
     )
     active = active.at[seed_used.reshape(-1)].set(False)
 
-    def process(state, b, cell, d, live, counted_trunc):
+    def process(state, b, cell, d, live):
         """One sweep's proposal batch: propose + conflicts + apply.
         (b, cell, d) in board-major / cell-major / dir-minor order —
         each board's internal priority order is exactly grow_board's."""
@@ -588,7 +592,6 @@ def grow_boards_joint(
         )
         valid &= live & (rot >= 0).all(axis=1)
         audit = audit + jnp.sum(pool_ovf & live).astype(jnp.int32)
-        audit = audit + counted_trunc
         unrot_ix = (jnp.arange(4)[None, :] - d[:, None]) % 4
         quad = jnp.take_along_axis(new_q, unrot_ix, axis=1)
 
@@ -624,20 +627,23 @@ def grow_boards_joint(
         cell_quad, placed, failed, active, seed_ok.any(), jnp.int32(1),
         jnp.int32(0),
     )
-    state = process(state, b1, cell1, d1, seed_ok[b1], jnp.int32(0))
+    state = process(state, b1, cell1, d1, seed_ok[b1])
 
     # -- remaining sweeps on the compacted live frontier ---------------
-    def sweep(state):
-        cell_quad, placed, failed, active, _, it, audit = state
+    tgt_safe_np = jnp.minimum(jnp.asarray(tgt_np), g2 - 1)
+
+    def attempts(placed, failed):
         placed2 = placed[: mb * g2].reshape(mb, g2)
         failed2 = failed[: mb * g2].reshape(mb, g2)
-        tgt_safe = jnp.minimum(jnp.asarray(tgt_np), g2 - 1)
-        att = (
+        return (
             placed2[:, :, None]
             & tgt_ok[None]
-            & ~placed2[:, tgt_safe]
-            & ~failed2[:, tgt_safe]
+            & ~placed2[:, tgt_safe_np]
+            & ~failed2[:, tgt_safe_np]
         ).reshape(-1)
+
+    def sweep(state):
+        att = attempts(state[1], state[2])
         total = mb * g2 * 4
         (sel,) = jnp.nonzero(att, size=loop_attempts, fill_value=total)
         live = sel < total
@@ -646,16 +652,18 @@ def grow_boards_joint(
         rem = safe % (g2 * 4)
         cell = (rem // 4).astype(jnp.int32)
         d = (rem % 4).astype(jnp.int32)
-        trunc = (
-            att.sum().astype(jnp.int32) - live.sum().astype(jnp.int32)
-        )
-        return process(state, b, cell, d, live, trunc)
+        return process(state, b, cell, d, live)
 
     def cond(state):
         return state[4] & (state[5] < max_sweeps)
 
     state = lax.while_loop(cond, sweep, state)
     cell_quad, placed, failed, active, _, _, audit = state
+    # attempts still live when the sweep bound fired are DROPPED work
+    # relative to the unbounded reference recursion — audit them. A
+    # quiesced loop has an all-false mask here, so routine deferral
+    # that eventually processed costs nothing.
+    audit = audit + jnp.sum(attempts(placed, failed)).astype(jnp.int32)
 
     cell_quad = cell_quad[: mb * g2].reshape(mb, g2, 4)
     placed2 = placed[: mb * g2].reshape(mb, g2)
